@@ -1,0 +1,146 @@
+"""Artifact IO: disparity/depth decoding, JSON, PNG, HDF5 helpers.
+
+Implements (among others) the two functions the reference calls but never
+shipped — ``data_utils.read_json_file`` and ``data_utils.load_depth``
+(pc_transform_dataset.py:115,141,274; see SURVEY.md §2.10) — re-derived from
+the Cityscapes disparity encoding and the inverse encodings visible at
+export_cityscapes_segmentation_results.py:111-127 and bg_dataset.py:224-228.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def read_json_file(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_png(path: str) -> np.ndarray:
+    return np.array(Image.open(path))
+
+
+def save_png(path: str, arr: np.ndarray) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr).save(path)
+
+
+def decode_disparity_png(png: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Cityscapes ``disparity_sequence`` uint16 PNG -> (disparity px, valid).
+
+    Official encoding: p > 0 ⇒ d = (p − 1) / 256; p == 0 ⇒ invalid.
+    """
+    png = png.astype(np.float32)
+    valid = png > 0
+    disp = np.where(valid, (png - 1.0) / 256.0, 0.0)
+    return disp, valid
+
+
+def disparity_to_depth(
+    disp: np.ndarray, valid: np.ndarray, baseline: float, fx: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Stereo disparity (px) -> metric depth: z = baseline·fx / d.
+
+    Zero-disparity (infinitely far / sky) is marked invalid rather than inf.
+    """
+    ok = valid & (disp > 0)
+    depth = np.where(ok, baseline * fx / np.maximum(disp, 1e-6), 0.0)
+    return depth.astype(np.float32), ok
+
+
+def load_depth(
+    path: str,
+    baseline: float,
+    fx: float,
+    use_cascade: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Load a disparity artifact and convert to (depth, valid_mask).
+
+    Re-derivation of the unshipped ``data_utils.load_depth``
+    (pc_transform_dataset.py:274-276): stereo ``*_disparity.png`` files decode
+    with the Cityscapes rule; cascade-stereo outputs are float disparity maps
+    (.npy or 16-bit PNG already in pixels).
+    """
+    if path.endswith(".npy"):
+        disp = np.load(path)
+        valid = disp > 0
+    else:
+        png = np.array(Image.open(path))
+        if use_cascade:
+            disp = png.astype(np.float32) / 256.0
+            valid = png > 0
+        else:
+            disp, valid = decode_disparity_png(png)
+    return disparity_to_depth(disp, valid, baseline, fx)
+
+
+def encode_depth_png(depth: np.ndarray) -> np.ndarray:
+    """Metric depth -> uint16 PNG payload: round((d+1).clip(0,255)·256).
+
+    Inverse of the bg-dataset decode ``png/256 − 1`` (bg_dataset.py:224-228);
+    matches the export at export_cityscapes_segmentation_results.py:119-123.
+    Invalid depths (−1) encode to 0.
+    """
+    enc = (np.clip(depth + 1.0, 0.0, 255.0) * 256.0).round()
+    return enc.astype(np.uint16)
+
+
+def decode_depth_png(png: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """uint16 depth PNG -> (depth, valid); 0 ⇒ invalid (depth −1)."""
+    valid = png > 0
+    depth = np.where(valid, png.astype(np.float32) / 256.0 - 1.0, -1.0)
+    return depth.astype(np.float32), valid
+
+
+def encode_disparity_from_depth(
+    depth: np.ndarray, disp_factor: float
+) -> np.ndarray:
+    """Depth -> uint16 disparity PNG as the reference exports it.
+
+    Reference: export_cityscapes_segmentation_results.py:111-118
+    (``disp = clamp(disp_factor / depth, 0, 255)·256`` for depth ≥ 0, else 0).
+    """
+    out = np.zeros_like(depth, dtype=np.float32)
+    pos = depth >= 0
+    out[pos] = np.clip(disp_factor / np.maximum(depth[pos], 1e-6), 0, 255) * 256.0
+    return out.round().astype(np.uint16)
+
+
+class LazyH5:
+    """Per-process lazy HDF5 handle (fork-safe open-on-first-use).
+
+    The reference re-opens h5 files inside each dataloader worker because
+    HDF5 handles don't survive fork (bg_dataset.py:184-186,
+    fg_instance_dataset.py:367-368); this wrapper gives the same safety with
+    pid tracking instead of convention.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fh = None
+        self._pid: Optional[int] = None
+
+    def handle(self):
+        import h5py
+
+        pid = os.getpid()
+        if self._fh is None or self._pid != pid:
+            self._fh = h5py.File(self.path, "r")
+            self._pid = pid
+        return self._fh
+
+    def __getitem__(self, key):
+        return self.handle()[key]
+
+    def close(self):
+        if self._fh is not None:
+            try:
+                self._fh.close()
+            finally:
+                self._fh = None

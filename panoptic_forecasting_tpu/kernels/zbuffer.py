@@ -1,0 +1,158 @@
+"""Z-buffer scatter-min splat — the hot kernel of the point-cloud transform.
+
+Reference capability: ``torch_scatter.scatter_min`` z-buffering in
+``pc_transform_model.py:100-139`` (a CUDA extension). TPU re-design:
+
+XLA:TPU has no fast general scatter with colliding indices (it serializes),
+so the primary path is **sort-based**: lexicographically sort the point
+stream by (target pixel, depth bits, point index) with ``jax.lax.sort``
+(num_keys=3 — TPU sorts are fast, fully parallel bitonic networks on the
+VPU), mark run starts, and write the unique winners with a collision-free
+scatter (``unique_indices=True``, ``mode='drop'`` for losers). Ties on depth
+resolve to the smallest point index — deterministic, unlike CUDA atomics.
+
+A direct ``.at[].min`` scatter path is kept for comparison/debugging
+(``method='scatter'``); it is correct everywhere but serializes on TPU.
+
+Semantics preserved from the reference (pc_transform_model.py:100-139):
+  * each point splats to its 4 surrounding integer pixels (floor/ceil of u,v),
+  * coordinates clamp into bounds, so off-screen points pile on the border,
+  * invalid points still participate, carrying label 0 and a sentinel depth
+    of ``max(depth) + 1`` so they never beat a valid point,
+  * pixels touched by no point keep label 0 and depth −1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _depth_sort_bits(depth: jnp.ndarray) -> jnp.ndarray:
+    """Monotone float32→int32 key (valid for the >0 depths used here).
+
+    For non-negative IEEE floats, the bit pattern viewed as int32 is
+    order-preserving; the full signed transform is used anyway so the key is
+    safe even if a caller passes a negative depth.
+    """
+    bits = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
+    # Flip: negatives reverse order (invert all bits), positives get sign bit.
+    return jnp.where(bits < 0, jnp.int32(~bits), bits | jnp.int32(-2147483648)) ^ jnp.int32(-2147483648)
+
+
+def splat_four_neighbors(uv: jnp.ndarray, height: int, width: int):
+    """Expand (N, 2) float pixel coords to the 4 surrounding integer pixels.
+
+    Returns (4N,) flat pixel indices (v*width + u), clamped in bounds —
+    matching the floor/ceil fan-out at pc_transform_model.py:107-114.
+    """
+    u, v = uv[..., 0], uv[..., 1]
+    uf, uc = jnp.floor(u), jnp.ceil(u)
+    vf, vc = jnp.floor(v), jnp.ceil(v)
+    us = jnp.concatenate([uf, uf, uc, uc])
+    vs = jnp.concatenate([vf, vc, vf, vc])
+    ui = jnp.clip(us.astype(jnp.int32), 0, width - 1)
+    vi = jnp.clip(vs.astype(jnp.int32), 0, height - 1)
+    return vi * width + ui
+
+
+def _zbuffer_sort(pix: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
+                  num_pixels: int):
+    """Sort-based argmin-per-pixel. All inputs 1-D of equal length."""
+    n = pix.shape[0]
+    depth_key = _depth_sort_bits(depth)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    pix_s, _, label_s, depth_s = jax.lax.sort(
+        (pix, depth_key, label, depth), num_keys=2
+    )
+    # Run starts: first occurrence of each pixel after the sort == the winner.
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), pix_s[1:] != pix_s[:-1]]
+    )
+    # Losers scatter to an out-of-range index and are dropped.
+    tgt = jnp.where(first, pix_s, num_pixels)
+    canvas_label = jnp.zeros((num_pixels,), label.dtype)
+    canvas_depth = jnp.full((num_pixels,), -1.0, depth.dtype)
+    canvas_label = canvas_label.at[tgt].set(label_s, mode="drop", unique_indices=True)
+    canvas_depth = canvas_depth.at[tgt].set(depth_s, mode="drop", unique_indices=True)
+    return canvas_label, canvas_depth
+
+
+def _zbuffer_scatter(pix: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
+                     num_pixels: int):
+    """Direct scatter-min path (slow on TPU; kept for cross-checking)."""
+    min_depth = jnp.full((num_pixels,), jnp.inf, depth.dtype)
+    min_depth = min_depth.at[pix].min(depth)
+    # Winner = smallest point index among points matching the pixel min.
+    won = depth == min_depth[pix]
+    n = pix.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    win_idx = jnp.full((num_pixels,), n, jnp.int32)
+    win_idx = win_idx.at[jnp.where(won, pix, num_pixels)].min(
+        jnp.where(won, idx, n), mode="drop"
+    )
+    touched = win_idx < n
+    safe = jnp.where(touched, win_idx, 0)
+    canvas_label = jnp.where(touched, label[safe], jnp.zeros((), label.dtype))
+    canvas_depth = jnp.where(touched, depth[safe], -1.0)
+    return canvas_label, canvas_depth
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "method"))
+def zbuffer_splat(uv, depth, label, valid, *, height: int, width: int,
+                  method: str = "sort"):
+    """Forward-splat a point stream into a (H, W) label+depth canvas.
+
+    Args:
+      uv:    (..., N, 2) float projected pixel coordinates.
+      depth: (..., N) float forecast depths (metric, >0 when valid).
+      label: (..., N) int (or (..., N, C) float) per-point payload.
+      valid: (..., N) bool validity (valid input depth ∧ depth>0 ∧ in-bounds).
+      height/width: output canvas size.
+
+    Returns:
+      (label_canvas (..., H, W[, C]), depth_canvas (..., H, W)).
+
+    Leading batch dims are vmapped. Reference: pc_transform_model.py:100-150.
+    """
+    if uv.ndim > 2:
+        fn = functools.partial(
+            zbuffer_splat, height=height, width=width, method=method
+        )
+        return jax.vmap(fn)(uv, depth, label, valid)
+
+    n = depth.shape[0]
+    # Invalid points: sentinel depth above every valid depth, label zeroed.
+    sentinel = jnp.max(jnp.where(valid, depth, -jnp.inf))
+    sentinel = jnp.where(jnp.isfinite(sentinel), sentinel, 0.0) + 1.0
+    depth = jnp.where(valid, depth, sentinel).astype(jnp.float32)
+    label = jnp.where(
+        valid if label.ndim == 1 else valid[:, None],
+        label,
+        jnp.zeros((), label.dtype),
+    )
+
+    pix = splat_four_neighbors(uv, height, width)  # (4N,)
+    depth4 = jnp.tile(depth, 4)
+    reps = (4,) if label.ndim == 1 else (4, 1)
+    label4 = jnp.tile(label, reps)
+
+    num_pixels = height * width
+    if label4.ndim == 2:
+        # Vector payload (RGB images): z-buffer the point index, then gather.
+        idx4 = jnp.tile(jnp.arange(n, dtype=jnp.int32), 4)
+        impl = _zbuffer_sort if method == "sort" else _zbuffer_scatter
+        win, dcanvas = impl(pix, depth4, idx4 + 1, num_pixels)  # 0 = untouched
+        touched = win > 0
+        safe = jnp.where(touched, win - 1, 0)
+        lcanvas = jnp.where(touched[:, None], label[safe], 0)
+        return (
+            lcanvas.reshape(height, width, label.shape[-1]),
+            dcanvas.reshape(height, width),
+        )
+
+    impl = _zbuffer_sort if method == "sort" else _zbuffer_scatter
+    lcanvas, dcanvas = impl(pix, depth4, label4, num_pixels)
+    return lcanvas.reshape(height, width), dcanvas.reshape(height, width)

@@ -1,0 +1,180 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from panoptic_forecasting_tpu.kernels import (
+    paste_and_composite,
+    paste_mask_bilinear,
+    splat_four_neighbors,
+    zbuffer_splat,
+)
+
+
+def _np_zbuffer(uv, depth, label, valid, h, w):
+    """Tiny NumPy golden model of the reference splat semantics."""
+    n = len(depth)
+    sentinel = (depth[valid].max() if valid.any() else 0.0) + 1.0
+    d = np.where(valid, depth, sentinel)
+    lab = np.where(valid, label, 0)
+    canvas_l = np.zeros((h, w), dtype=label.dtype)
+    canvas_d = np.full((h, w), -1.0, dtype=np.float64)
+    best = np.full((h, w), np.inf)
+    for corner in range(4):
+        for i in range(n):
+            u = np.floor(uv[i, 0]) if corner in (0, 1) else np.ceil(uv[i, 0])
+            v = np.floor(uv[i, 1]) if corner in (0, 2) else np.ceil(uv[i, 1])
+            ui = int(np.clip(u, 0, w - 1))
+            vi = int(np.clip(v, 0, h - 1))
+            if d[i] < best[vi, ui]:
+                best[vi, ui] = d[i]
+                canvas_l[vi, ui] = lab[i]
+                canvas_d[vi, ui] = d[i]
+    return canvas_l, canvas_d
+
+
+def test_splat_four_neighbors_center_pixel():
+    uv = jnp.array([[2.0, 3.0]])  # integral coords: all 4 neighbors collapse
+    pix = splat_four_neighbors(uv, 8, 8)
+    assert pix.shape == (4,)
+    assert set(np.asarray(pix).tolist()) == {3 * 8 + 2}
+
+
+def test_splat_four_neighbors_fractional():
+    uv = jnp.array([[2.5, 3.5]])
+    pix = set(np.asarray(splat_four_neighbors(uv, 8, 8)).tolist())
+    assert pix == {3 * 8 + 2, 3 * 8 + 3, 4 * 8 + 2, 4 * 8 + 3}
+
+
+@pytest.mark.parametrize("method", ["sort", "scatter"])
+def test_zbuffer_matches_numpy_golden(method):
+    rng = np.random.RandomState(0)
+    h, w, n = 6, 9, 40
+    uv = rng.rand(n, 2) * [w + 2, h + 2] - 1  # includes out-of-bounds
+    depth = rng.rand(n) * 10 + 0.5
+    label = rng.randint(1, 12, size=n).astype(np.int32)
+    valid = rng.rand(n) > 0.3
+    gl, gd = _np_zbuffer(uv, depth, label, valid, h, w)
+    ll, dd = zbuffer_splat(
+        jnp.asarray(uv, jnp.float32),
+        jnp.asarray(depth, jnp.float32),
+        jnp.asarray(label),
+        jnp.asarray(valid),
+        height=h,
+        width=w,
+        method=method,
+    )
+    np.testing.assert_array_equal(np.asarray(ll), gl)
+    np.testing.assert_allclose(np.asarray(dd), gd, atol=1e-5)
+
+
+def test_zbuffer_nearest_wins():
+    uv = jnp.array([[1.0, 1.0], [1.0, 1.0]])
+    depth = jnp.array([5.0, 2.0])
+    label = jnp.array([7, 3], dtype=jnp.int32)
+    valid = jnp.array([True, True])
+    ll, dd = zbuffer_splat(uv, depth, label, valid, height=4, width=4)
+    assert int(ll[1, 1]) == 3
+    assert float(dd[1, 1]) == pytest.approx(2.0)
+
+
+def test_zbuffer_invalid_point_loses_and_zeroes():
+    uv = jnp.array([[1.0, 1.0], [2.0, 2.0]])
+    depth = jnp.array([5.0, 1.0])
+    label = jnp.array([7, 3], dtype=jnp.int32)
+    valid = jnp.array([True, False])
+    ll, dd = zbuffer_splat(uv, depth, label, valid, height=4, width=4)
+    # invalid point still touches (2,2) but contributes label 0, sentinel depth
+    assert int(ll[2, 2]) == 0
+    assert float(dd[2, 2]) == pytest.approx(6.0)  # max(valid)+1
+    assert int(ll[1, 1]) == 7
+    # untouched pixel
+    assert float(dd[0, 3]) == -1.0
+
+
+def test_zbuffer_batched():
+    uv = jnp.zeros((2, 3, 2)) + jnp.array([1.0, 1.0])
+    depth = jnp.ones((2, 3))
+    label = jnp.ones((2, 3), jnp.int32) * jnp.array([[4], [9]])
+    valid = jnp.ones((2, 3), bool)
+    ll, dd = zbuffer_splat(uv, depth, label, valid, height=4, width=4)
+    assert ll.shape == (2, 4, 4)
+    assert int(ll[0, 1, 1]) == 4 and int(ll[1, 1, 1]) == 9
+
+
+def test_zbuffer_rgb_payload():
+    uv = jnp.array([[1.0, 1.0], [1.0, 1.0]])
+    depth = jnp.array([5.0, 2.0])
+    rgb = jnp.array([[10.0, 20.0, 30.0], [1.0, 2.0, 3.0]])
+    valid = jnp.array([True, True])
+    ll, dd = zbuffer_splat(uv, depth, rgb, valid, height=4, width=4)
+    assert ll.shape == (4, 4, 3)
+    np.testing.assert_allclose(np.asarray(ll[1, 1]), [1.0, 2.0, 3.0])
+
+
+def _torch_paste(mask, bbox, h, w):
+    import torch
+    import torch.nn.functional as F
+
+    m = torch.tensor(np.asarray(mask))[None, None].float()
+    x0, y0, x1, y1 = bbox
+    iy = (torch.arange(h).float() + 0.5 - y0) / (y1 - y0) * 2 - 1
+    ix = (torch.arange(w).float() + 0.5 - x0) / (x1 - x0) * 2 - 1
+    gy = iy[:, None].expand(h, w)
+    gx = ix[None, :].expand(h, w)
+    grid = torch.stack([gx, gy], dim=-1)[None]
+    return F.grid_sample(m, grid, align_corners=False)[0, 0].numpy()
+
+
+def test_paste_mask_matches_torch_grid_sample():
+    rng = np.random.RandomState(3)
+    mask = rng.rand(28, 28).astype(np.float32)
+    for bbox in [(10.0, 5.0, 50.0, 40.0), (-5.0, -3.0, 20.0, 33.5), (40.0, 30.0, 90.0, 64.0)]:
+        ours = paste_mask_bilinear(
+            jnp.asarray(mask), jnp.asarray(bbox, jnp.float32), img_h=64, img_w=96
+        )
+        ref = _torch_paste(mask, bbox, 64, 96)
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4)
+
+
+def test_paste_degenerate_bbox_is_zero():
+    mask = jnp.ones((28, 28))
+    out = paste_mask_bilinear(mask, jnp.array([5.0, 5.0, 5.0, 9.0]), img_h=16, img_w=16)
+    assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_composite_depth_order_and_strictness():
+    h = w = 32
+    # Two instances overlapping; nearer one must win.
+    masks = jnp.ones((2, 8, 8))
+    bboxes = jnp.array([[4.0, 4.0, 20.0, 20.0], [10.0, 10.0, 28.0, 28.0]])
+    depths = jnp.array([10.0, 4.0])  # painted far->near
+    ids = jnp.array([11001, 12001], dtype=jnp.int32)
+    valid = jnp.array([True, True])
+    bg_labels = jnp.zeros((h, w), jnp.int32)
+    bg_depth = jnp.full((h, w), 1e9)
+    lab, dep = paste_and_composite(
+        masks, bboxes, depths, ids, valid, bg_labels, bg_depth, img_h=h, img_w=w
+    )
+    assert int(lab[15, 15]) == 12001  # overlap -> nearer id
+    assert int(lab[6, 6]) == 11001
+    assert float(dep[15, 15]) == pytest.approx(4.0)
+    # Background depth nearer than the instance blocks painting.
+    bg_depth2 = jnp.full((h, w), 1.0)
+    lab2, _ = paste_and_composite(
+        masks, bboxes, depths, ids, valid, bg_labels, bg_depth2, img_h=h, img_w=w
+    )
+    assert int(lab2[15, 15]) == 0
+
+
+def test_composite_invalid_padding_slots_ignored():
+    h = w = 16
+    masks = jnp.ones((2, 4, 4))
+    bboxes = jnp.array([[2.0, 2.0, 10.0, 10.0]] * 2)
+    depths = jnp.array([5.0, 1.0])
+    ids = jnp.array([100, 200], dtype=jnp.int32)
+    valid = jnp.array([True, False])
+    lab, _ = paste_and_composite(
+        masks, bboxes, depths, ids, valid,
+        jnp.zeros((h, w), jnp.int32), jnp.full((h, w), 1e9), img_h=h, img_w=w
+    )
+    assert int(lab[5, 5]) == 100
