@@ -1,0 +1,62 @@
+"""Shared CLI plumbing: config load, seeding, model/param restore."""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+from ..core import build_dataset, build_model
+from ..core import checkpoint as ckpt
+from ..core.config import Config, load_config, save_config
+
+
+def seed_everything(seed: int) -> None:
+    """Host-side RNG seeding (reference utils/misc.py:15-19); device RNG is
+    explicit PRNG keys threaded by the trainer."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def maybe_force_platform(cfg) -> None:
+    if cfg.get("platform"):
+        import jax
+
+        jax.config.update("jax_platforms", cfg["platform"])
+
+
+def setup(argv=None, test: bool = False) -> Tuple[Config, Any, Any]:
+    """load config → build datasets → build model. Returns (cfg, data, model)."""
+    cfg = load_config(argv)
+    maybe_force_platform(cfg)
+    seed_everything(int(cfg.get("seed", 0)))
+    task_data = build_dataset(cfg, test=test)
+    model = build_model(cfg, task_data.card)
+    return cfg, task_data, model
+
+
+def restore_params(cfg, model, task_data, example_batch=None):
+    """Initialize params, then restore best/latest/explicit checkpoint.
+
+    Reference: models/__init__.py:29-41 (best_model from working_dir unless
+    --load_model gives an explicit path).
+    """
+    import jax
+
+    if example_batch is None:
+        split = next(iter(task_data.datasets))
+        example_batch = task_data.loader(split, cfg, test=True)
+        example_batch = next(iter(example_batch))
+    params = model.init(jax.random.PRNGKey(int(cfg.get("seed", 0))), example_batch)
+    if cfg.get("load_model"):
+        return ckpt.load_model(cfg["load_model"], like=params)
+    wd = cfg["working_dir"]
+    best = os.path.join(wd, ckpt.BEST)
+    latest = os.path.join(wd, ckpt.LATEST)
+    if os.path.isdir(best):
+        return ckpt.load_model(best, like=params)
+    if os.path.isdir(latest):
+        return ckpt.load_model(latest, like=params)
+    return params

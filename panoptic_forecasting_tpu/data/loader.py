@@ -1,0 +1,110 @@
+"""Batch loader: map-style datasets → stacked numpy batches.
+
+Reference capability: torch DataLoader + InfiniteDataloader + collate_fns
+(training/train.py:25-64,101-122; datasets' module-level ``collate_fn``s).
+JAX-native redesign: the loader yields **numpy** dict batches (host-side);
+device placement/sharding happens in the trainer via ``shard_batch`` so the
+loader stays framework-free. Supports shuffle, drop_last, weighted sampling
+(train.py:39-44), and ``steps_per_epoch``-style infinite epochs
+(InfiniteDataloader, train.py:25-64).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def default_collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack 'inputs'/'labels' leaf-wise; 'meta' values become lists.
+
+    Mirrors the reference's per-dataset collate_fns (odom_dataset.py:152-165).
+    """
+
+    def stack_tree(items):
+        first = items[0]
+        if isinstance(first, dict):
+            return {k: stack_tree([it[k] for it in items]) for k in first}
+        if isinstance(first, np.ndarray) or np.isscalar(first):
+            return np.stack([np.asarray(it) for it in items])
+        return list(items)
+
+    out = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if key == "meta":
+            out[key] = {k: [v[k] for v in vals] for k in vals[0]}
+        else:
+            out[key] = stack_tree(vals)
+    return out
+
+
+class Loader:
+    """Iterate a dataset in batches; one ``__iter__`` = one epoch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        collate_fn: Optional[Callable] = None,
+        steps_per_epoch: Optional[int] = None,
+        weights: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.collate = collate_fn or default_collate
+        self.steps_per_epoch = steps_per_epoch
+        self.weights = weights
+        self._rng = np.random.RandomState(seed)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed shuffling per epoch (reference train.py:172-173,300-305)."""
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        if self.steps_per_epoch is not None:
+            return self.steps_per_epoch
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _order(self) -> np.ndarray:
+        n = len(self.dataset)
+        rng = np.random.RandomState(self._rng.randint(2**31) + self._epoch)
+        if self.weights is not None:
+            p = np.asarray(self.weights, np.float64)
+            return rng.choice(n, size=n, replace=True, p=p / p.sum())
+        if self.shuffle:
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if self.steps_per_epoch is None:
+            order = self._order()
+            stop = (
+                len(order) - len(order) % self.batch_size
+                if self.drop_last
+                else len(order)
+            )
+            for s in range(0, stop, self.batch_size):
+                idx = order[s : s + self.batch_size]
+                yield self.collate([self.dataset[int(i)] for i in idx])
+            return
+        # Infinite mode: keep drawing fresh shuffles until steps are served.
+        served = 0
+        order = self._order()
+        pos = 0
+        while served < self.steps_per_epoch:
+            if pos + self.batch_size > len(order):
+                order = self._order()
+                pos = 0
+            idx = order[pos : pos + self.batch_size]
+            pos += self.batch_size
+            served += 1
+            yield self.collate([self.dataset[int(i)] for i in idx])

@@ -1,0 +1,70 @@
+"""Per-task dataset bundles (registry targets).
+
+Reference capability: ``data/__init__.py:14-31`` — build per-split datasets
+for a task and register the task collate_fn. Here each builder returns a
+``TaskData`` bundle: split datasets + the DataCard handed to the model
+builder (replacing the reference's params-mutation contract).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import numpy as np
+
+from ..core.registry import register_dataset
+from .cards import DataCard
+from .loader import Loader, default_collate
+from .odom_data import OdomDataset
+
+
+@dataclasses.dataclass
+class TaskData:
+    datasets: Dict[str, Any]
+    card: DataCard
+    collate_fn: Callable = default_collate
+
+    def loader(self, split: str, cfg: Dict[str, Any], test: bool = False,
+               seed: int = 0) -> Loader:
+        t = cfg.get("training", {})
+        bs = int(t.get("batch_size", 32))
+        if split != "train" or test:
+            return Loader(
+                self.datasets[split],
+                int(t.get("val_batch_size") or bs),
+                shuffle=False,
+                drop_last=False,
+                collate_fn=self.collate_fn,
+                seed=seed,
+            )
+        steps = t.get("steps_per_epoch")
+        accum = int(t.get("accumulate_steps", 1))
+        return Loader(
+            self.datasets[split],
+            bs,
+            shuffle=True,
+            drop_last=True,
+            collate_fn=self.collate_fn,
+            steps_per_epoch=(int(steps) * accum) if steps else None,
+            weights=cfg.get("sample_weights"),
+            seed=seed,
+        )
+
+
+@register_dataset("odom")
+def build_odom_data(cfg, test: bool = False) -> TaskData:
+    card = DataCard(task="odom")
+    splits = cfg.get("data", {}).get("data_splits", ["train", "val"])
+    datasets = {s: OdomDataset(s, cfg, card, test=test) for s in splits}
+    return TaskData(datasets=datasets, card=card)
+
+
+@register_dataset("pc_transform")
+def build_pc_transform_data(cfg, test: bool = False) -> TaskData:
+    from .pc_data import PCTransformDataset
+
+    card = DataCard(task="pc_transform")
+    splits = cfg.get("data", {}).get("data_splits", ["val"])
+    datasets = {s: PCTransformDataset(s, cfg, card, test=test) for s in splits}
+    return TaskData(datasets=datasets, card=card)

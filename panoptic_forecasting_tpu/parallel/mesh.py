@@ -1,0 +1,67 @@
+"""Device mesh + sharding helpers: the communication layer.
+
+Reference capability: ``utils/dist.py`` (NCCL process groups, DDP gradient
+all-reduce, ``reduce_dict`` metric averaging, master-only checkpointing) and
+the DDP data-parallel strategy in training/train.py:99-103. TPU-native
+replacement: a ``jax.sharding.Mesh`` with a ``data`` axis; batches are
+sharded with ``NamedSharding(P('data', ...))``, parameters are replicated,
+and the jitted train step's gradient mean *is* the all-reduce — XLA inserts
+the collective over ICI. No explicit process groups, no NCCL analog.
+
+The mesh is 1-D (``data``) because the reference's only strategy is DP
+(SURVEY.md §2.3) — but it is constructed explicitly so additional SPMD axes
+(e.g. a spatial ``model`` axis for full-res HarDNet) can be added without
+touching the trainer.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
+the same code spans slices (DCN) transparently. ``is_main_process`` maps to
+``jax.process_index() == 0`` (reference dist.py:70-76).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    """1-D data-parallel mesh over the first ``n_devices`` devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding that splits the leading (batch) dim across the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
+    """Device-put a host batch pytree with the batch dim sharded.
+
+    Arrays whose leading dim doesn't divide the mesh are replicated instead
+    (scalars, ragged metadata that slipped through).
+    """
+    n = mesh.devices.size
+    sharded = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n == 0:
+            return jax.device_put(x, sharded)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
