@@ -79,16 +79,25 @@ def main() -> None:
         )
 
     fn = jax.jit(forecast)
+    # NOTE on methodology: this platform memoizes identical (executable,
+    # args) calls and block_until_ready alone does not force execution
+    # through the device tunnel — so every timed iteration uses perturbed
+    # inputs and the clock stops only after fetching a checksum value.
+    csum = jax.jit(lambda l, d: (l.astype(jnp.int32).sum(), d.sum()))
     args = (jnp.asarray(depth), jnp.asarray(seg), jnp.asarray(speeds), jnp.asarray(yaws))
     lab, dep = fn(*args)  # compile
-    jax.block_until_ready((lab, dep))
+    _ = tuple(float(x) for x in csum(lab, dep))
 
-    n_iters = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        lab, dep = fn(*args)
-    jax.block_until_ready((lab, dep))
-    dt = (time.perf_counter() - t0) / n_iters
+    n_iters = 5
+    times = []
+    for i in range(n_iters):
+        d_i = args[0] + np.float32(0.001 * (i + 1))
+        _ = float(d_i[0, 0, 0])  # materialize input, drain queue
+        t0 = time.perf_counter()
+        lab, dep = fn(d_i, *args[1:])
+        _ = tuple(float(x) for x in csum(lab, dep))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     fps = 1.0 / dt
 
     # NumPy baseline proxy: same splat semantics, one frame, on host CPU.

@@ -68,3 +68,13 @@ def build_pc_transform_data(cfg, test: bool = False) -> TaskData:
     splits = cfg.get("data", {}).get("data_splits", ["val"])
     datasets = {s: PCTransformDataset(s, cfg, card, test=test) for s in splits}
     return TaskData(datasets=datasets, card=card)
+
+
+@register_dataset("bg")
+def build_bg_data(cfg, test: bool = False) -> TaskData:
+    from .bg_data import BGDataset
+
+    card = DataCard(task="bg")
+    splits = cfg.get("data", {}).get("data_splits", ["train", "val"])
+    datasets = {s: BGDataset(s, cfg, card, test=test) for s in splits}
+    return TaskData(datasets=datasets, card=card)

@@ -158,6 +158,74 @@ def write_cityscapes_fixture(
     pd.DataFrame(rows).to_pickle(os.path.join(root, f"{split}_3d_info.pkl"))
 
 
+def write_bg_fixture(
+    root: str,
+    splits=("train", "val"),
+    n_snippets: int = 2,
+    height: int = 64,
+    width: int = 128,
+    seed: int = 0,
+) -> dict:
+    """BG-training artifact tree: 3 reprojected-seg dirs (ind0/1/2, trainId
+    content under the reference's labelIds naming), fg-removed GT
+    labelTrainIds, and a depth h5 keyed ``city/seq/frame06d/start_fr``.
+
+    Returns the config 'data' fragment pointing at it.
+    """
+    import h5py
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    city = "synthcity"
+    data_dirs = [os.path.join(root, f"pc_ind{i}") for i in range(3)]
+    gt_dir = os.path.join(root, "gtFine_nofg")
+    for split in splits:
+        with h5py.File(os.path.join(root, f"depths_{split}.h5"), "a") as h5:
+            for snip in range(n_snippets):
+                seq = f"{snip:06d}"
+                frame = 19
+                segs, depths = make_scene_sequence(
+                    30, height, width, seed=seed + snip + splits.index(split) * 100
+                )
+                name = f"{city}_{seq}_{frame:06d}"
+                # GT: things (trainId >= 11) -> 255 (remove_fg_from_gt.py:15-33)
+                gt = segs[19].copy()
+                gt[gt >= 11] = 255
+                os.makedirs(os.path.join(gt_dir, split, city), exist_ok=True)
+                Image.fromarray(gt.astype(np.uint8)).save(
+                    os.path.join(
+                        gt_dir, split, city, f"{name}_gtFine_labelTrainIds.png"
+                    )
+                )
+                # reprojected inputs: frames {4, 7, 10} stand in for the
+                # mid-term reprojections of input inds 0/1/2
+                dep_block = np.zeros((height, width, 3), np.uint16)
+                for i, fr in enumerate([4, 7, 10]):
+                    os.makedirs(
+                        os.path.join(data_dirs[i], split, city), exist_ok=True
+                    )
+                    arr = segs[fr].copy()
+                    arr[arr >= 11] = 255  # reprojections are fg-free
+                    Image.fromarray(arr.astype(np.uint8)).save(
+                        os.path.join(
+                            data_dirs[i], split, city,
+                            f"{name}_gtFine_labelIds.png",
+                        )
+                    )
+                    dep_block[:, :, i] = (
+                        np.clip(depths[fr] + 1.0, 0, 255) * 256
+                    ).astype(np.uint16)
+                h5.create_dataset(
+                    f"{city}/{seq}/{frame:06d}/0", data=dep_block
+                )
+    return {
+        "data_dir": data_dirs,
+        "gt_dir": gt_dir,
+        "depth_h5_path": os.path.join(root, "depths_%s.h5"),
+        "cityscapes_dir": root,
+    }
+
+
 def make_scene_sequence(
     n_frames: int,
     height: int = 64,

@@ -128,43 +128,36 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
     fu = jnp.clip(ui + gu, 0, width - 1) - cu0
     fv = jnp.clip(vi + gv, 0, height - 1) - cv0
     base = cv0 * width + cu0
-    frac = fv * 2 + fu  # payload, not a sort key
+    frac = fv * 2 + fu
 
-    base_s, key_s, frac_s = jax.lax.sort((base, key, frac), num_keys=2)
-    fu_s = frac_s & 1
-    fv_s = frac_s >> 1
-
-    new_run = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), base_s[1:] != base_s[:-1]]
+    # Sort by (base, frac, key): within each (base, frac) group the packed
+    # keys are ascending, so each group's FIRST element is its min — no
+    # segmented scan needed, just run-start detection + one unique-index
+    # scatter per frac group.
+    base_s, frac_s, key_s = jax.lax.sort((base, frac, key), num_keys=3)
+    group = base_s * 4 + frac_s
+    group_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), group[1:] != group[:-1]]
     )
-    run_end = jnp.concatenate(
-        [base_s[:-1] != base_s[1:], jnp.ones((1,), jnp.bool_)]
-    )
-    tgt = jnp.where(run_end, base_s, num_pixels)
 
-    def masked_run_min(mask):
-        """Min of ``key_s`` over each base run restricted to ``mask``,
-        materialized at the run's last element via a segmented cummin."""
-        vals = jnp.where(mask, key_s, EMPTY)
-
-        def comb(a, b):
-            av, ab = a
-            bv, bb = b
-            return jnp.where(bb, bv, jnp.minimum(av, bv)), ab | bb
-
-        out, _ = jax.lax.associative_scan(comb, (vals, new_run))
+    def group_min_canvas(g):
+        sel = group_start & (frac_s == g)
+        tgt = jnp.where(sel, base_s, num_pixels)
         canvas = jnp.full((num_pixels,), EMPTY, jnp.int32)
-        return canvas.at[tgt].set(out, mode="drop", unique_indices=True)
+        return canvas.at[tgt].set(key_s, mode="drop", unique_indices=True)
 
-    ones = jnp.ones_like(fu_s, jnp.bool_)
-    m00 = masked_run_min(ones)                       # corner (+0, +0)
-    m10 = masked_run_min(fu_s == 1)                  # targets base+1
-    m01 = masked_run_min(fv_s == 1)                  # targets base+W
-    m11 = masked_run_min((fu_s == 1) & (fv_s == 1))  # targets base+W+1
+    g0 = group_min_canvas(0)  # fu=0, fv=0 — contributes to base only
+    g1 = group_min_canvas(1)  # fu=1        — base and base+1
+    g2 = group_min_canvas(2)  # fv=1        — base and base+W
+    g3 = group_min_canvas(3)  # both        — all four corners
 
     def shift(c, off):
         return jnp.concatenate([jnp.full((off,), EMPTY, jnp.int32), c[:-off]])
 
+    m00 = jnp.minimum(jnp.minimum(g0, g1), jnp.minimum(g2, g3))
+    m10 = jnp.minimum(g1, g3)  # points whose ceil-u corner is base+1
+    m01 = jnp.minimum(g2, g3)
+    m11 = g3
     # fu=1 never occurs in the last column and fv=1 never in the last row
     # (clamped offsets), so flat shifts cannot bleed across rows.
     canvas = jnp.minimum(

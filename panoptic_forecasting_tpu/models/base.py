@@ -23,25 +23,43 @@ class TaskModel:
     """Base class for task models.
 
     Subclasses set ``self.module`` (a flax.linen.Module) and implement
-    ``loss`` / ``predict``. ``loss`` returns ``(mean_loss, metrics)`` where
+    ``loss`` / ``predict``. State protocol: ``init`` returns a *variables*
+    dict (``{'params': ..., 'batch_stats': ...}``); the trainer
+    differentiates w.r.t. ``variables['params']`` and threads the rest
+    (mutable collections like BatchNorm statistics) through ``loss``:
+
+        loss(params, state, batch, rng, train) -> (mean_loss, metrics, new_state)
+
     ``metrics['loss']`` is the per-sample loss vector (the trainer averages
     it sample-weighted across grad-accumulation steps and hosts, mirroring
-    the reference's vector-loss protocol, train.py:196-202).
+    the reference's vector-loss protocol, train.py:196-202). ``predict``
+    takes the full variables dict.
     """
 
     module: Any = None
 
     def init(self, rng: jax.Array, batch: Dict[str, Any]) -> Any:
-        """Initialize parameters from a (host) example batch."""
+        """Initialize the variables dict from a (host) example batch."""
         raise NotImplementedError
 
-    def loss(self, params: Any, batch: Dict[str, Any],
-             rng: Optional[jax.Array] = None,
-             train: bool = True) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    def loss(self, params: Any, state: Dict[str, Any], batch: Dict[str, Any],
+             rng: Optional[jax.Array] = None, train: bool = True
+             ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray], Dict[str, Any]]:
         raise NotImplementedError
 
-    def predict(self, params: Any, batch: Dict[str, Any]) -> Dict[str, Any]:
+    def predict(self, variables: Any, batch: Dict[str, Any]) -> Dict[str, Any]:
         raise NotImplementedError
+
+
+def split_variables(variables: Dict[str, Any]) -> Tuple[Any, Dict[str, Any]]:
+    """(params, non-param state collections)."""
+    params = variables.get("params", {})
+    state = {k: v for k, v in variables.items() if k != "params"}
+    return params, state
+
+
+def merge_variables(params: Any, state: Dict[str, Any]) -> Dict[str, Any]:
+    return {"params": params, **state}
 
 
 def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,132 @@
+"""Background semantic forecaster: FCHarDNet over one-hot reprojected segs.
+
+Reference capability: ``BGModel`` (models/bg/bg_model.py:15-102) — stack
+``num_inputs`` past (reprojected) segmentations one-hot encoded to
+num_classes channels each, plus normalized masked depth channels, through
+FCHarDNet-70; CrossEntropy(ignore 255) vs fg-removed GT with a pixel
+accuracy metric; ``predict`` returns argmax seg + full-res and pre-resize
+logits. The first HarDNet conv is widened to the (num_classes+1)·T input
+(reference mean-replicates pretrained RGB weights, hardnet.py:329-332 —
+done here by the weight importer; fresh init just sizes the conv directly).
+
+Layout: NHWC (TPU-native); channel order inside the stacked input is
+t-major ((t0·c0..t0·cC)…, then depth channels) matching the reference's
+``reshape(b, t*c, h, w)`` + concat (bg_model.py:64-69) so imported torch
+weights drop in without permutation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .base import TaskModel
+from .hardnet import HarDNet
+
+
+class BGModel(TaskModel):
+    def __init__(self, cfg: Dict[str, Any], data_card=None):
+        m = cfg.get("model", {})
+        d = cfg.get("data", {})
+        self.num_classes = int(
+            (data_card.num_classes if data_card and data_card.num_classes else None)
+            or d.get("num_classes", 19)
+        )
+        self.use_depth_inps = bool(m.get("use_depth_inps"))
+        self.num_inputs = int(m.get("num_inputs", 1))
+        self.convert2onehot = bool(m.get("convert2onehot"))
+        fw, fh = m.get("final_w"), m.get("final_h")
+        self.final_size = (int(fh), int(fw)) if fw and fh else None
+        if self.use_depth_inps:
+            if data_card is not None and "depth" in getattr(data_card, "stats", {}):
+                self.depth_mean = float(data_card.mean("depth")[0])
+                self.depth_std = float(data_card.std("depth")[0])
+            else:
+                self.depth_mean, self.depth_std = 0.0, 1.0
+        self.module = HarDNet(n_classes=self.num_classes)
+
+    # -- input assembly ----------------------------------------------------
+    def _inp2onehot(self, seg: jax.Array) -> jax.Array:
+        """(B, T, H, W) int -> (B, T, H, W, C) one-hot; ids ≥ C are zeroed
+        (bg_model.py:53-59)."""
+        mask = seg < self.num_classes
+        safe = jnp.where(mask, seg, 0)
+        oh = jax.nn.one_hot(safe, self.num_classes, dtype=jnp.float32)
+        return oh * mask[..., None]
+
+    def _assemble(self, seg, depth, depth_mask) -> jax.Array:
+        """-> (B, H, W, T*C [+T]) network input."""
+        if self.convert2onehot:
+            x = self._inp2onehot(seg)  # (B, T, H, W, C)
+        else:
+            x = seg[..., None].astype(jnp.float32)
+        b, t, h, w, c = x.shape
+        x = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
+        if self.use_depth_inps:
+            dep = (depth - self.depth_mean) / self.depth_std
+            dep = dep * depth_mask.astype(dep.dtype)
+            dep = jnp.transpose(dep, (0, 2, 3, 1))  # (B, H, W, T)
+            x = jnp.concatenate([x, dep.astype(x.dtype)], axis=-1)
+        return x
+
+    def forward(self, variables, batch, train=False, return_orig_size=False,
+                mutable=False):
+        inp = batch["inputs"]
+        x = self._assemble(
+            jnp.asarray(inp["seg"]),
+            jnp.asarray(inp["depth"]) if "depth" in inp else None,
+            jnp.asarray(inp["depth_mask"]) if "depth_mask" in inp else None,
+        )
+        kwargs = dict(
+            train=train,
+            final_size=self.final_size,
+            return_orig_size=return_orig_size,
+        )
+        if mutable:
+            return self.module.apply(
+                variables, x, **kwargs, mutable=["batch_stats"]
+            )
+        return self.module.apply(variables, x, **kwargs)
+
+    # -- TaskModel protocol -------------------------------------------------
+    def init(self, rng, batch):
+        inp = batch["inputs"]
+        x = self._assemble(
+            jnp.asarray(inp["seg"]),
+            jnp.asarray(inp["depth"]) if "depth" in inp else None,
+            jnp.asarray(inp["depth_mask"]) if "depth_mask" in inp else None,
+        )
+        return self.module.init(rng, x)
+
+    def loss(self, params, state, batch, rng=None, train=True):
+        variables = {"params": params, **state}
+        if train:
+            logits, new_state = self.forward(
+                variables, batch, train=True, mutable=True
+            )
+        else:
+            logits, new_state = self.forward(variables, batch, train=False), state
+        labels = jnp.asarray(batch["labels"]["seg"])
+        valid = labels != 255
+        safe = jnp.where(valid, labels, 0)
+        # logits (B, H, W, C); CE mean over non-ignored pixels (torch
+        # CrossEntropyLoss(ignore_index=255) semantics, bg_model.py:44,80).
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, safe)
+        total_valid = jnp.maximum(valid.sum(), 1)
+        loss = jnp.where(valid, ce, 0.0).sum() / total_valid
+        preds = jnp.argmax(logits, axis=-1)
+        acc = (jnp.where(valid, preds == safe, False)).sum() / total_valid
+        return loss, {"loss": loss, "accuracy": acc}, new_state
+
+    def predict(self, variables, batch):
+        logits, orig = self.forward(
+            variables, batch, train=False, return_orig_size=True
+        )
+        return {
+            "seg": jnp.argmax(logits, axis=-1),
+            "logits": logits,
+            "orig_size_logits": orig,
+        }

@@ -15,3 +15,10 @@ def build_odom_model(cfg, data_card=None):
 @register_model("pc_transform")
 def build_pc_transform_model(cfg, data_card=None):
     return PCTransformModel(cfg, data_card)
+
+
+@register_model("bg")
+def build_bg_model(cfg, data_card=None):
+    from .bg import BGModel
+
+    return BGModel(cfg, data_card)

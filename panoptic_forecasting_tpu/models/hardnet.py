@@ -1,0 +1,221 @@
+"""FCHarDNet-70 semantic segmentation network, NHWC / XLA-native.
+
+Reference capability: ``models/bg/hardnet.py`` (itself adapted from the
+public FCHarDNet, MIT-licensed). Architecture (hardnet.py:261-327):
+4-conv stem → 5 HarDBlocks with 1×1 transitions and 2×2 avg-pool
+downsampling → 4-stage decoder of bilinear-upsample(align_corners=True) +
+skip-concat + 1×1 halving conv + HarDBlock → 1×1 class head → bilinear
+resize to input (or ``final_size``).
+
+HarDBlock "harmonic" connectivity (hardnet.py:177-240): layer L takes input
+from layers L−2ⁱ for every i with 2ⁱ | L; growth channels scale by
+grmul^i, rounded to even; block output concatenates the last layer + every
+odd-indexed layer (+ base if keepBase).
+
+TPU re-design notes: NHWC layout (TPU-native), explicit torch-equivalent
+conv padding (k//2 each side) so imported weights are bit-compatible,
+BatchNorm with torch momentum/eps, and a hand-rolled separable
+align_corners=True bilinear resize (jax.image.resize implements only
+half-pixel sampling). ``expand_first_layer``/``expand_last_layer``
+(hardnet.py:329-339) are handled at weight-import/init time by the BG model.
+The reference's dead inference-only ``HarDBlock_v2`` weight-folding path is
+intentionally dropped (never called in-repo; XLA fuses conv+BN anyway).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def hard_block_links(n_layers: int, base_ch: int, growth: int, grmul: float):
+    """Per-layer (out_ch, in_ch, link) + block out channels.
+
+    Pure reimplementation of the harmonic link rule (hardnet.py:177-194).
+    """
+
+    def get_link(layer):
+        if layer == 0:
+            return base_ch, 0, []
+        out_channels = float(growth)
+        link = []
+        for i in range(10):
+            dv = 2 ** i
+            if layer % dv == 0:
+                link.append(layer - dv)
+                if i > 0:
+                    out_channels *= grmul
+        out_channels = int(int(out_channels + 1) / 2) * 2
+        in_channels = sum(get_link(l)[0] for l in link)
+        return out_channels, in_channels, link
+
+    layers = [get_link(i + 1) for i in range(n_layers)]
+    out_ch = sum(
+        oc for i, (oc, _, _) in enumerate(layers)
+        if i % 2 == 0 or i == n_layers - 1
+    )
+    return layers, out_ch
+
+
+def resize_bilinear_align_corners(x: jnp.ndarray, size: Tuple[int, int]):
+    """Bilinear resize with align_corners=True on (..., H, W, C) arrays.
+
+    Matches ``F.interpolate(mode='bilinear', align_corners=True)``:
+    src = dst * (H_in − 1) / (H_out − 1). Separable 1-D gathers.
+    """
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = size
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+
+    def axis_interp(x, n_in, n_out, axis):
+        if n_out == 1 or n_in == 1:
+            idx = jnp.zeros((n_out,), jnp.int32)
+            return jnp.take(x, idx, axis=axis)
+        src = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
+        lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 1)
+        hi = jnp.clip(lo + 1, 0, n_in - 1)
+        w = (src - lo.astype(jnp.float32)).astype(x.dtype)
+        shape = [1] * x.ndim
+        shape[axis] = n_out
+        w = w.reshape(shape)
+        return jnp.take(x, lo, axis=axis) * (1 - w) + jnp.take(x, hi, axis=axis) * w
+
+    x = axis_interp(x, h_in, h_out, x.ndim - 3)
+    x = axis_interp(x, w_in, w_out, x.ndim - 2)
+    return x
+
+
+class ConvLayer(nn.Module):
+    """conv(no bias, torch-style k//2 padding) → BN → ReLU (hardnet.py:16-25)."""
+
+    out_channels: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.kernel // 2
+        x = nn.Conv(
+            self.out_channels,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            use_bias=False,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            name="norm",
+        )(x)
+        return nn.relu(x)
+
+
+class HarDBlock(nn.Module):
+    in_channels: int
+    growth: int
+    grmul: float
+    n_layers: int
+    keep_base: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        layer_specs, _ = hard_block_links(
+            self.n_layers, self.in_channels, self.growth, self.grmul
+        )
+        outs = [x]
+        for i, (out_ch, _, link) in enumerate(layer_specs):
+            tin = [outs[l] for l in link]
+            inp = jnp.concatenate(tin, axis=-1) if len(tin) > 1 else tin[0]
+            outs.append(
+                ConvLayer(out_ch, name=f"layer_{i}")(inp, train=train)
+            )
+        t = len(outs)
+        keep = [
+            outs[i]
+            for i in range(t)
+            if (i == 0 and self.keep_base) or i == t - 1 or i % 2 == 1
+        ]
+        return jnp.concatenate(keep, axis=-1)
+
+    @staticmethod
+    def out_ch(in_channels, growth, grmul, n_layers) -> int:
+        return hard_block_links(n_layers, in_channels, growth, grmul)[1]
+
+
+class HarDNet(nn.Module):
+    """FCHarDNet-70. Input (B, H, W, C_in); returns logits at input (or
+    ``final_size``) resolution, optionally with the pre-resize logits."""
+
+    n_classes: int = 19
+    first_ch: Sequence[int] = (16, 24, 32, 48)
+    ch_list: Sequence[int] = (64, 96, 160, 224, 320)
+    grmul: float = 1.7
+    gr: Sequence[int] = (10, 16, 18, 24, 32)
+    n_layers: Sequence[int] = (4, 4, 8, 8, 8)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False,
+                 final_size: Optional[Tuple[int, int]] = None,
+                 return_orig_size: bool = False):
+        size_in = (x.shape[-3], x.shape[-2])
+        blks = len(self.n_layers)
+
+        # Stem (hardnet.py:274-280); base indices mirror the torch ModuleList
+        # so the weight importer maps by position.
+        x = ConvLayer(self.first_ch[0], kernel=3, stride=2, name="base_0")(x, train)
+        x = ConvLayer(self.first_ch[1], kernel=3, name="base_1")(x, train)
+        x = ConvLayer(self.first_ch[2], kernel=3, stride=2, name="base_2")(x, train)
+        x = ConvLayer(self.first_ch[3], kernel=3, name="base_3")(x, train)
+
+        skips: List[jnp.ndarray] = []
+        skip_chs: List[int] = []
+        ch = self.first_ch[3]
+        base_idx = 4
+        for i in range(blks):
+            x = HarDBlock(
+                ch, self.gr[i], self.grmul, self.n_layers[i],
+                name=f"base_{base_idx}",
+            )(x, train)
+            ch = HarDBlock.out_ch(ch, self.gr[i], self.grmul, self.n_layers[i])
+            base_idx += 1
+            if i < blks - 1:
+                skips.append(x)
+                skip_chs.append(ch)
+            x = ConvLayer(self.ch_list[i], kernel=1, name=f"base_{base_idx}")(x, train)
+            ch = self.ch_list[i]
+            base_idx += 1
+            if i < blks - 1:
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+                base_idx += 1  # torch keeps AvgPool in the ModuleList
+
+        # Decoder (hardnet.py:312-322, 365-369)
+        prev_ch = ch
+        for j, i in enumerate(range(blks - 2, -1, -1)):
+            skip = skips.pop()
+            x = resize_bilinear_align_corners(x, (skip.shape[-3], skip.shape[-2]))
+            x = jnp.concatenate([x, skip], axis=-1)
+            cur = prev_ch + skip_chs[i]
+            x = ConvLayer(cur // 2, kernel=1, name=f"conv1x1_up_{j}")(x, train)
+            x = HarDBlock(
+                cur // 2, self.gr[i], self.grmul, self.n_layers[i],
+                name=f"denseBlocksUp_{j}",
+            )(x, train)
+            prev_ch = HarDBlock.out_ch(
+                cur // 2, self.gr[i], self.grmul, self.n_layers[i]
+            )
+
+        logits = nn.Conv(
+            self.n_classes, (1, 1), use_bias=True, name="finalConv"
+        )(x)
+        out = resize_bilinear_align_corners(
+            logits.astype(jnp.float32), final_size or size_in
+        )
+        if return_orig_size:
+            return out, logits
+        return out

@@ -140,25 +140,25 @@ class OdomModel(TaskModel):
         inp = jnp.asarray(batch["inputs"]["odometry"])
         return self.module.init(rng, inp)
 
-    def forward(self, params, inp_odom) -> Tuple[jax.Array, jax.Array]:
+    def forward(self, variables, inp_odom) -> Tuple[jax.Array, jax.Array]:
         """Returns (unnormalized, normalized) forecasts, (B, L, 2)."""
         x = self._normalize(inp_odom) if self.normalize_input else inp_odom
-        y = self.module.apply(params, x)
+        y = self.module.apply(variables, x)
         if self.normalize_input:
             return self._unnormalize(y), y
         return y, self._normalize(y)
 
-    def loss(self, params, batch, rng=None, train=True):
+    def loss(self, params, state, batch, rng=None, train=True):
         inp = batch["inputs"]["odometry"]
         lab = batch["labels"]["odometry"]
-        preds, normalized_preds = self.forward(params, inp)
+        preds, normalized_preds = self.forward({"params": params, **state}, inp)
         if self.use_normalized_loss:
             per_elem = self.loss_fn(normalized_preds, self._normalize(lab))
         else:
             per_elem = self.loss_fn(preds, lab)
         per_sample = per_elem.reshape(per_elem.shape[0], -1).mean(axis=1)
-        return per_sample.mean(), {"loss": per_sample}
+        return per_sample.mean(), {"loss": per_sample}, state
 
-    def predict(self, params, batch):
-        preds, _ = self.forward(params, batch["inputs"]["odometry"])
+    def predict(self, variables, batch):
+        preds, _ = self.forward(variables, batch["inputs"]["odometry"])
         return {"odometry": preds}

@@ -109,7 +109,7 @@ class PCTransformModel(TaskModel):
     def init(self, rng, batch):
         return {}
 
-    def predict(self, params, batch) -> Dict[str, Any]:
+    def predict(self, variables, batch) -> Dict[str, Any]:
         inp = batch["inputs"]
         seg = jnp.asarray(inp["seg"])
         depth = jnp.asarray(inp["depth"])
@@ -135,5 +135,5 @@ class PCTransformModel(TaskModel):
             method=self.method,
         )
 
-    def loss(self, params, batch, rng=None, train=True):
+    def loss(self, params, state, batch, rng=None, train=True):
         raise NotImplementedError("pc_transform has no training objective")

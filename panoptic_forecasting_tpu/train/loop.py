@@ -30,6 +30,7 @@ import numpy as np
 import optax
 
 from ..core import checkpoint as ckpt
+from ..models.base import merge_variables, split_variables
 from ..parallel.mesh import make_mesh, replicate, shard_batch
 from .optim import build_optimizer, lr_for_epoch, set_lr
 
@@ -75,14 +76,16 @@ def train(model, task_data, cfg: Dict[str, Any], writers=None,
     # ---- init / resume ----------------------------------------------------
     rng = jax.random.PRNGKey(seed)
     example = next(iter(task_data.loader("train", cfg, seed=seed)))
-    params = model.init(rng, example)
+    variables = model.init(rng, example)
     if cfg.get("load_model"):
-        params = ckpt.load_model(cfg["load_model"], like=params)
+        variables = ckpt.load_model(cfg["load_model"], like=variables)
+    params, mstate = split_variables(variables)
     opt_state = opt.init(params)
 
     start_epoch, best_val_epoch, best_val_result, step = 1, -1, 1e7, 0
     if cfg.get("continue_training") and ckpt.has_trainer_state(working_dir):
-        params = ckpt.load_model(working_dir, like=params)
+        variables = ckpt.load_model(working_dir, like=variables)
+        params, mstate = split_variables(variables)
         state = ckpt.load_trainer_state(
             working_dir,
             like={
@@ -101,31 +104,32 @@ def train(model, task_data, cfg: Dict[str, Any], writers=None,
         print(f"RESUMING TRAINING AT EPOCH {start_epoch}")
 
     params = jax.device_put(params, repl)
+    mstate = jax.device_put(mstate, repl)
     opt_state = jax.device_put(opt_state, repl)
 
     # ---- compiled steps ---------------------------------------------------
-    def loss_fn(p, batch, rng):
-        mean_loss, metrics = model.loss(p, batch, rng, train=True)
-        return mean_loss / accum, metrics
+    def loss_fn(p, s, batch, rng):
+        mean_loss, metrics, new_s = model.loss(p, s, batch, rng, train=True)
+        return mean_loss / accum, (metrics, new_s)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def fused_step(p, o, batch, rng):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, batch, rng
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def fused_step(p, s, o, batch, rng):
+        (_, (metrics, s)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, s, batch, rng
         )
         updates, o = opt.update(grads, o, p)
         p = optax.apply_updates(p, updates)
         sums, count = _metric_sums(metrics)
-        return p, o, sums, count
+        return p, s, o, sums, count
 
-    @jax.jit
-    def grad_step(p, acc, batch, rng):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, batch, rng
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def grad_step(p, s, acc, batch, rng):
+        (_, (metrics, s)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, s, batch, rng
         )
         acc = jax.tree_util.tree_map(jnp.add, acc, grads)
         sums, count = _metric_sums(metrics)
-        return acc, sums, count
+        return s, acc, sums, count
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def apply_step(p, o, acc):
@@ -133,20 +137,20 @@ def train(model, task_data, cfg: Dict[str, Any], writers=None,
         return optax.apply_updates(p, updates), o
 
     @jax.jit
-    def eval_step(p, batch):
-        _, metrics = model.loss(p, batch, None, train=False)
+    def eval_step(p, s, batch):
+        _, metrics, _ = model.loss(p, s, batch, None, train=False)
         return _metric_sums(metrics)
 
     zeros_like_grads = jax.jit(
         lambda p: jax.tree_util.tree_map(jnp.zeros_like, p)
     )
 
-    def run_val(params) -> Dict[str, float]:
+    def run_val(params, mstate) -> Dict[str, float]:
         counters: Dict[str, float] = {}
         n = 0.0
         for batch in val_loader:
             batch = shard_batch(mesh, _strip_meta(batch))
-            sums, count = eval_step(params, batch)
+            sums, count = eval_step(params, mstate, batch)
             sums = jax.device_get(sums)
             n += float(count)
             for k, v in sums.items():
@@ -170,7 +174,9 @@ def train(model, task_data, cfg: Dict[str, Any], writers=None,
             rng, sub = jax.random.split(rng)
             batch = shard_batch(mesh, _strip_meta(batch))
             if accum > 1:
-                grad_acc, sums, count = grad_step(params, grad_acc, batch, sub)
+                mstate, grad_acc, sums, count = grad_step(
+                    params, mstate, grad_acc, batch, sub
+                )
                 micro += 1
                 if micro == accum:
                     params, opt_state = apply_step(params, opt_state, grad_acc)
@@ -178,8 +184,8 @@ def train(model, task_data, cfg: Dict[str, Any], writers=None,
                     micro = 0
                     step += 1
             else:
-                params, opt_state, sums, count = fused_step(
-                    params, opt_state, batch, sub
+                params, mstate, opt_state, sums, count = fused_step(
+                    params, mstate, opt_state, batch, sub
                 )
                 step += 1
             sums = jax.device_get(sums)
@@ -198,7 +204,7 @@ def train(model, task_data, cfg: Dict[str, Any], writers=None,
             continue
 
         if val_loader is not None:
-            val_scalars = run_val(params)
+            val_scalars = run_val(params, mstate)
             if val_writer is not None:
                 val_writer.add_scalars(val_scalars, epoch)
             epoch_loss = val_scalars["loss"]
@@ -208,8 +214,8 @@ def train(model, task_data, cfg: Dict[str, Any], writers=None,
 
         if epoch_loss < best_val_result:
             best_val_epoch, best_val_result = epoch, epoch_loss
-            ckpt.save_model(working_dir, params, best=True)
-        ckpt.save_model(working_dir, params, best=False)
+            ckpt.save_model(working_dir, merge_variables(params, mstate), best=True)
+        ckpt.save_model(working_dir, merge_variables(params, mstate), best=False)
         ckpt.save_trainer_state(
             working_dir,
             {
@@ -231,7 +237,7 @@ def train(model, task_data, cfg: Dict[str, Any], writers=None,
         )
 
     return {
-        "params": params,
+        "params": merge_variables(params, mstate),
         "best_val_result": best_val_result,
         "best_val_epoch": best_val_epoch,
         "step": step,

@@ -1,0 +1,155 @@
+"""BG model slice: HarDNet shapes, dataset, one-hot assembly, training."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from panoptic_forecasting_tpu.core import build_dataset, build_model
+from panoptic_forecasting_tpu.data.loader import default_collate
+from panoptic_forecasting_tpu.data.synthetic import write_bg_fixture
+from panoptic_forecasting_tpu.models.hardnet import (
+    HarDNet,
+    hard_block_links,
+    resize_bilinear_align_corners,
+)
+
+
+def test_hard_block_links_match_reference_algorithm():
+    # independently computed from the published FCHarDNet rule for
+    # n_layers=4, base=48, growth=10, grmul=1.7
+    layers, out_ch = hard_block_links(4, 48, 10, 1.7)
+    # layer 1: links [0] -> in 48
+    assert layers[0][2] == [0] and layers[0][1] == 48
+    # layer 2: links [1, 0] (2-1, 2-2)
+    assert sorted(layers[1][2]) == [0, 1]
+    # layer 4: links [3, 2, 0]
+    assert sorted(layers[3][2]) == [0, 2, 3]
+    # out channels: layers 1,3 are odd-ind... indices 0,2 (0-based) + last
+    assert out_ch == layers[0][0] + layers[2][0] + layers[3][0]
+
+
+def test_hardnet70_output_channels_19_classes():
+    net = HarDNet(n_classes=19)
+    x = jnp.zeros((1, 64, 128, 3))
+    variables = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(variables, x)
+    assert out.shape == (1, 64, 128, 19)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(variables["params"]))
+    # FCHarDNet-70 has ~4.1M params; sanity-band the reimplementation
+    assert 3.5e6 < n_params < 4.7e6
+
+
+def test_resize_align_corners_matches_torch():
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(1, 8, 12, 3).astype(np.float32)
+    ours = resize_bilinear_align_corners(jnp.asarray(x), (17, 33))
+    theirs = (
+        F.interpolate(
+            torch.tensor(x).permute(0, 3, 1, 2),
+            size=(17, 33),
+            mode="bilinear",
+            align_corners=True,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def bg_cfg(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bg"))
+    frag = write_bg_fixture(root, n_snippets=2, height=64, width=128)
+    return {
+        "task": "bg",
+        "seed": 0,
+        "working_dir": root + "/run",
+        "data": {
+            "data_splits": ["train", "val"],
+            "data_inp_size": 3,
+            "gap_len": [9],
+            "only_background": True,
+            "use_depths": True,
+            "min_depth": 0.1,
+            "max_depth": 200.0,
+            # crop must stay >= 32 px after scaling (HarDNet downsamples 1/32)
+            "crop_size": 64,
+            "scale_min": 1.0,
+            "scale_max": 1.0,
+            "depth_norm_params_file": root + "/depth_norm.npy",
+            **frag,
+        },
+        "model": {
+            "num_inputs": 3,
+            "convert2onehot": True,
+            "use_depth_inps": True,
+        },
+        "training": {
+            "batch_size": 2,
+            "num_epochs": 1,
+            "lr": 2e-3,
+            "mom": 0.9,
+            "wd": 1e-4,
+            "clip_grad_norm": 5.0,
+        },
+    }
+
+
+def test_bg_dataset_and_card(bg_cfg):
+    data = build_dataset(bg_cfg)
+    assert data.card.num_classes == 11
+    assert "depth" in data.card.stats
+    s = data.datasets["train"][0]
+    assert s["inputs"]["seg"].shape == (3, 64, 64)  # cropped
+    assert s["inputs"]["depth"].shape == (3, 64, 64)
+    v = data.datasets["val"][0]
+    assert v["inputs"]["seg"].shape == (3, 64, 128)  # full size, no aug
+    assert set(np.unique(v["labels"]["seg"])) <= set(range(11)) | {255}
+
+
+def test_bg_model_input_assembly_channel_order(bg_cfg):
+    data = build_dataset(bg_cfg)
+    model = build_model(bg_cfg, data.card)
+    seg = jnp.asarray(np.array([[[[1, 12]], [[2, 255]], [[0, 3]]]]))  # (1,3,1,2)
+    x = model._inp2onehot(seg)
+    assert x.shape == (1, 3, 1, 2, 11)
+    # id >= num_classes is zeroed entirely
+    assert float(x[0, 0, 0, 1].sum()) == 0.0
+    assert float(x[0, 1, 0, 1].sum()) == 0.0
+    assert float(x[0, 0, 0, 0, 1]) == 1.0
+    full = model._assemble(
+        seg,
+        jnp.ones((1, 3, 1, 2)),
+        jnp.ones((1, 3, 1, 2), bool),
+    )
+    # t-major layout + 3 depth channels at the end
+    assert full.shape == (1, 1, 2, 3 * 11 + 3)
+    assert float(full[0, 0, 0, 1]) == 1.0  # t0 class1
+    assert float(full[0, 0, 0, 11 + 2]) == 1.0  # t1 class2
+
+
+def test_bg_train_step_and_predict(bg_cfg):
+    from panoptic_forecasting_tpu.train.loop import train
+
+    data = build_dataset(bg_cfg)
+    model = build_model(bg_cfg, data.card)
+    import os
+
+    os.makedirs(bg_cfg["working_dir"], exist_ok=True)
+    result = train(model, data, bg_cfg)
+    assert np.isfinite(result["best_val_result"])
+    # batch_stats were updated during training
+    bs = result["params"]["batch_stats"]
+    leaf = jax.tree_util.tree_leaves(bs)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+
+    batch = default_collate([data.datasets["val"][0]])
+    preds = model.predict(result["params"], {"inputs": batch["inputs"]})
+    assert preds["seg"].shape == (1, 64, 128)
+    assert preds["logits"].shape == (1, 64, 128, 11)
+    assert preds["orig_size_logits"].shape[1:3] == (16, 32)  # 1/4 resolution
