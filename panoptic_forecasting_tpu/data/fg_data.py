@@ -1,0 +1,636 @@
+"""Foreground datasets: per-instance tracks (training) and per-scene
+instance sets (eval/export).
+
+Reference capability: ``FGInstanceDataset`` (datasets/fg_instance_dataset.py)
+and ``FGSceneDataset`` (datasets/fg_scene_dataset.py). Artifacts:
+
+* ``{split}_instance_meta.pkl`` / ``{split}_seq_meta.pkl`` — pandas tables
+  with city/seq/frame/track_id/class/bboxes(30,4 ULBR)/feat_mask(30)/
+  feat_ind(30)/inst_ind (scene tables hold per-scene arrays (N, 30, ...));
+* ``{split}_depth_instance_info.pkl`` / ``{split}_depth_seq_info.pkl`` —
+  per-frame instance depths (−1 / 1000000 = invalid);
+* ``{split}_feats.h5`` keyed ``city/seq/frame`` → (K, 256, 14, 14) MaskRCNN
+  ROI features, indexed by ``feat_ind``;
+* ``{split}_3d_info.pkl`` — odometry (30, 5) + times (30).
+
+Window convention: frames sampled every 3; train start inds {4, 7, 10} (or
+all 30−15 with ``expand_train``), val start = 19−3·(in+out−1) = 4
+(fg_instance_dataset.py:159-165); scene eval uses inds [4..19] (+6 for
+short-term ``output_ind == 0``, fg_scene_dataset.py:206-211).
+
+Cityscapes-specific heuristics preserved: ``filter_car_gap`` truncates a car
+track after an implausible jump at the image border
+(fg_instance_dataset.py:184-217); ``add_car_offscreen_loc`` extrapolates
+off-screen exits (219-286). Predicted odometry expands (speed, yaw_rate)
+through the unicycle model to 5-d with the mean input Δt
+(fg_instance_dataset.py:384-412).
+
+TPU re-design: the scene dataset emits **dense padded** instance arrays
+(padded to a bucket multiple) with a ``valid`` mask instead of the
+reference's list collate, so the jitted FG forward sees static shapes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .cards import DataCard
+from .io import LazyH5
+from ..geometry.boxes import bbox_ulbr_to_cwh
+
+IMG_SIZE = (2048, 1024)
+INVALID_DEPTHS = (-1.0, 1000000.0)
+
+
+def _unicycle_delta(speed, yaw_rate, dt):
+    if abs(yaw_rate) < 0.000175:
+        return dt * speed, 0.0, 0.0
+    r = speed / yaw_rate
+    wt = yaw_rate * dt
+    return r * np.sin(wt), r * (1 - np.cos(wt)), wt
+
+
+def expand_predicted_odom(odom_preds: np.ndarray, avg_dt: float) -> np.ndarray:
+    """(K, 2) predicted (speed, yaw) -> (K, 5) with unicycle (dx, dy, dθ)."""
+    out = np.zeros((len(odom_preds), 5), np.float32)
+    for i, (speed, yaw) in enumerate(odom_preds):
+        dx, dy, dth = _unicycle_delta(float(speed), float(yaw), float(avg_dt))
+        out[i] = [speed, yaw, dx, dy, dth]
+    return out
+
+
+def filter_car_gap(bboxes_ulbr, bbox_mask, feat_mask, gap: float,
+                   border_dist: float, seq_len: int,
+                   img_w: float = IMG_SIZE[0]):
+    """Zero a car track after an implausible border jump
+    (fg_instance_dataset.py:184-217). Arrays are modified copies."""
+    bboxes = bboxes_ulbr.copy()
+    bm = bbox_mask.copy()
+    fm = feat_mask.copy()
+    past_loc = None
+    found_x0 = found_x1 = zero_rest = False
+    for t in range(seq_len):
+        if not zero_rest:
+            if not bm[t]:
+                continue
+            x0, y0, x1, y1 = bboxes[t]
+            if x0 < border_dist:
+                found_x0 = True
+            if x1 > img_w - border_dist:
+                found_x1 = True
+            if found_x0:
+                if past_loc is not None and x1 > past_loc + gap:
+                    zero_rest = True
+                past_loc = x1
+            if found_x1:
+                if past_loc is not None and x0 < past_loc - gap:
+                    zero_rest = True
+                past_loc = x0
+        if zero_rest:
+            bm[t] = False
+            fm[t] = False
+            bboxes[t] = 0
+    return bboxes, bm, fm
+
+
+def add_car_offscreen_loc(cl: int, bboxes_ulbr, bbox_mask, input_len: int,
+                          output_len: int, img_size=IMG_SIZE):
+    """Extrapolate a car that left the frame (fg_instance_dataset.py:219-286)."""
+    if cl != 13:
+        return bboxes_ulbr, bbox_mask
+    bboxes = bboxes_ulbr.copy()
+    bm = bbox_mask.copy()
+    seq_len = input_len + output_len
+    completed = False
+    for out_t in range(1, seq_len):
+        if completed:
+            break
+        if not bm[out_t] and bm[out_t - 1]:
+            if out_t < input_len - output_len - 1 and np.any(bm[out_t + 1 :]):
+                continue
+            x0, y0, x1, y1 = bboxes[out_t - 1]
+            if x0 < 200:
+                if out_t > 1 and bm[out_t - 2]:
+                    o = bboxes[out_t - 2]
+                    vx, vy0, vy1 = x1 - o[2], y0 - o[1], y1 - o[3]
+                    if vx > 0:
+                        break
+                    for t in range(out_t, seq_len):
+                        x0 = max(x0 + vx, -20)
+                        x1 = max(x1 + vx, -10)
+                        y0 = min(y0 + vy0, img_size[1] + 10)
+                        y1 = min(y1 + vy1, img_size[1] + 20)
+                        bboxes[t] = [x0, y0, x1, y1]
+                        bm[t] = True
+                    completed = True
+            elif x1 > img_size[0] - 200:
+                if out_t > 1 and bm[out_t - 2]:
+                    o = bboxes[out_t - 2]
+                    vx, vy0, vy1 = x0 - o[0], y0 - o[1], y1 - o[3]
+                    if vx < 0:
+                        break
+                    for t in range(out_t, seq_len):
+                        x0 = min(x0 + vx, img_size[0] + 10)
+                        x1 = min(x1 + vx, img_size[0] + 10)
+                        y0 = min(y0 + vy0, img_size[1] + 10)
+                        y1 = min(y1 + vy1, img_size[1] + 20)
+                        bboxes[t] = [x0, y0, x1, y1]
+                        bm[t] = True
+                    completed = True
+    return bboxes, bm
+
+
+def _depth_valid(depths, max_depth):
+    ok = (depths != INVALID_DEPTHS[0]) & (depths != INVALID_DEPTHS[1])
+    if max_depth is not None:
+        ok = ok & (depths <= max_depth)
+    return ok
+
+
+def compute_fg_stats(all_bboxes, all_feat_masks, all_depths, max_depth,
+                     use_ulbr: bool, input_len: int, output_len: int,
+                     expand_train: bool, card: DataCard, odometry=None):
+    """Masked mean/std of locations, velocities, depths, depth velocities
+    over the training windows (fg_instance_dataset.py:86-154)."""
+    if not use_ulbr:
+        all_bboxes = bbox_ulbr_to_cwh(all_bboxes)
+    all_depth_masks = _depth_valid(all_depths, max_depth)
+    inds = np.arange(0, 3 * (input_len + output_len), 3)
+    if expand_train:
+        start_inds = range(30 - 3 * (input_len + output_len - 1))
+    else:
+        start_inds = [1, 4, 7, 10]
+    locs, loc_masks, deps, dep_masks = [], [], [], []
+    for s in start_inds:
+        locs.append(all_bboxes[:, inds + s])
+        loc_masks.append(all_feat_masks[:, inds + s])
+        deps.append(all_depths[:, inds + s])
+        dep_masks.append(all_depth_masks[:, inds + s])
+    locs = np.concatenate(locs)
+    loc_masks = np.concatenate(loc_masks).astype(bool)
+    deps = np.concatenate(deps)
+    dep_masks = np.concatenate(dep_masks).astype(bool)
+
+    flat = locs.reshape(-1, 4)[loc_masks.reshape(-1)]
+    mean_loc, std_loc = flat.mean(0), flat.std(0)
+    vel_masks = loc_masks[:, 1:] & loc_masks[:, :-1]
+    vels = (locs[:, 1:] - locs[:, :-1]).reshape(-1, 4)[vel_masks.reshape(-1)]
+    mean_vel, std_vel = vels.mean(0), vels.std(0)
+    card.set_stats(
+        "traj",
+        np.concatenate([mean_loc, mean_vel]),
+        np.concatenate([std_loc, std_vel]),
+    )
+    fd = deps.reshape(-1)[dep_masks.reshape(-1)]
+    dvm = dep_masks[:, 1:] & dep_masks[:, :-1]
+    dv = (deps[:, 1:] - deps[:, :-1]).reshape(-1)[dvm.reshape(-1)]
+    card.set_stats(
+        "depth", np.array([fd.mean(), dv.mean()]), np.array([fd.std(), dv.std()])
+    )
+    if odometry is not None:
+        flat_o = odometry.reshape(-1, 5)
+        card.set_stats("odom", flat_o.mean(0), flat_o.std(0))
+        card.extras["odom_size"] = 5
+
+
+class FGInstanceDataset:
+    """One sample = one instance track (training)."""
+
+    def __init__(self, split: str, cfg: Dict[str, Any], card: DataCard,
+                 test: bool = False):
+        import pandas as pd
+
+        d = cfg.get("data", {})
+        self.split = split
+        self.test = test
+        self.input_len = int(d.get("input_len", 3))
+        self.output_len = 3
+        self.seq_len = self.input_len + self.output_len
+        self.use_ulbr = bool(cfg.get("use_bbox_ulbr"))
+        self.max_depth = d.get("max_depth")
+        self.expand_train = bool(d.get("expand_train"))
+        self.require_most_recent = bool(d.get("require_most_recent"))
+        self.filter_car_gap = d.get("filter_car_gap")
+        self.filter_car_gap_borderdist = d.get(
+            "filter_car_gap_borderdist", self.filter_car_gap
+        )
+        self.add_car_offscreen = bool(d.get("add_car_offscreen_loc"))
+        self.no_feats = bool(d.get("no_feats"))
+        self.use_3d_info = bool(d.get("use_3d_info"))
+        card.num_classes = 19
+        card.extras.setdefault("img_size", list(IMG_SIZE))
+
+        data_dir = d["data_dir"]
+        self.data = pd.read_pickle(
+            os.path.join(data_dir, f"{split}_instance_meta.pkl")
+        )
+        self.depth_data = pd.read_pickle(
+            os.path.join(d.get("depth_dir", data_dir), f"{split}_depth_instance_info.pkl")
+        )
+        feats_dir = d.get("feats_dir", data_dir)
+        self.feats_h5 = (
+            None if self.no_feats else LazyH5(os.path.join(feats_dir, f"{split}_feats.h5"))
+        )
+        self.data3d = None
+        if self.use_3d_info:
+            self.data3d = pd.read_pickle(
+                os.path.join(d.get("info_3d_dir", data_dir), f"{split}_3d_info.pkl")
+            )
+            self._d3_index = {
+                (r["city"], r["seq"], int(r["frame"])): i
+                for i, r in self.data3d.iterrows()
+            }
+        self.odom_pred_path = None
+        if d.get("odom_pred_dir"):
+            self.odom_pred_path = os.path.join(
+                d["odom_pred_dir"], f"odometry_{split}.h5"
+            )
+
+        # stats (always computed; stored on card for train split)
+        if split == "train":
+            all_bboxes = np.stack(list(self.data["bboxes"].values))
+            all_masks = np.stack(list(self.data["feat_mask"].values))
+            all_depths = np.stack(list(self.depth_data["depth"].values))
+            odom = (
+                np.stack(list(self.data3d["odometry"].values))
+                if self.use_3d_info
+                else None
+            )
+            compute_fg_stats(
+                all_bboxes, all_masks, all_depths, self.max_depth,
+                self.use_ulbr, self.input_len, self.output_len,
+                self.expand_train, card, odometry=odom,
+            )
+
+        base = np.arange(0, 3 * self.seq_len, 3)
+        if split == "train" and self.expand_train:
+            start_inds = range(30 - 3 * (self.seq_len - 1))
+        elif split == "train":
+            start_inds = [4, 7, 10]
+        else:
+            start_inds = [19 - 3 * (self.seq_len - 1)]
+        self.index: List[Tuple[int, int, np.ndarray]] = []
+        for idx in range(len(self.data)):
+            fm = np.asarray(self.data.iloc[idx]["feat_mask"])
+            for s in start_inds:
+                inds = base + s
+                if np.any(fm[inds[: self.input_len]]) and np.any(
+                    fm[inds[self.input_len :]]
+                ):
+                    if self.require_most_recent and not fm[inds[self.input_len - 1]]:
+                        continue
+                    self.index.append((idx, s, inds))
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def _load_feats(self, city, seq, frame, feat_inds) -> np.ndarray:
+        feats = np.zeros((len(feat_inds), 256, 14, 14), np.float32)
+        if self.feats_h5 is None:
+            return feats
+        dset = self.feats_h5[f"{city}/{seq}/{frame}"]
+        valid = feat_inds != -1
+        if valid.any():
+            feats[valid] = np.asarray(dset[list(feat_inds[valid])], np.float32)
+        return feats
+
+    def _load_odometry(self, city, seq, frame, inds) -> Optional[np.ndarray]:
+        if not self.use_3d_info:
+            return None
+        rec = self.data3d.iloc[self._d3_index[(city, seq, int(frame))]]
+        if self.odom_pred_path is None:
+            return np.asarray(rec["odometry"], np.float32)[inds]
+        import h5py
+
+        inp = np.asarray(rec["odometry"], np.float32)[inds[: self.input_len]]
+        start_fr = int(inds[self.input_len - 1])
+        times = np.asarray(rec["times"], np.float64)[
+            int(inds[0]) : start_fr + 1
+        ]
+        avg_dt = float(np.mean(times[1:] - times[:-1]))
+        with h5py.File(self.odom_pred_path, "r") as f:
+            preds = f[f"{city}/{seq}/{frame}/{start_fr}"][:]
+        expanded = expand_predicted_odom(preds, avg_dt)
+        return np.concatenate([inp, expanded[[2, 5, 8]]]).astype(np.float32)
+
+    def __getitem__(self, i: int) -> Dict[str, Any]:
+        idx, start_fr, inds = self.index[i]
+        rec = self.data.iloc[idx]
+        drec = self.depth_data.iloc[idx]
+        city, seq, frame = rec["city"], rec["seq"], int(rec["frame"])
+        cl = int(rec["class"])
+
+        bboxes = np.asarray(rec["bboxes"], np.float32)[inds]
+        bbox_mask = np.asarray(rec["feat_mask"])[inds].astype(bool)
+        feat_mask = bbox_mask.copy()
+        if self.filter_car_gap is not None and cl == 13:
+            bboxes, bbox_mask, feat_mask = filter_car_gap(
+                bboxes, bbox_mask, feat_mask, self.filter_car_gap,
+                self.filter_car_gap_borderdist, self.seq_len,
+            )
+        if self.add_car_offscreen:
+            bboxes, bbox_mask = add_car_offscreen_loc(
+                cl, bboxes, bbox_mask, self.input_len, self.output_len
+            )
+        if not self.use_ulbr:
+            bboxes = bbox_ulbr_to_cwh(bboxes)
+
+        bm = bbox_mask.astype(np.float32)
+        vel = np.concatenate(
+            [np.zeros((1, 4), np.float32), bboxes[1:] - bboxes[:-1]]
+        )
+        vel[1:] *= (bm[:-1] * bm[1:])[:, None]
+        vel_mask = np.concatenate(
+            [np.zeros(1, bool), bbox_mask[1:] & bbox_mask[:-1]]
+        )
+        traj = np.concatenate([bboxes, vel], axis=-1)
+
+        depths = np.asarray(drec["depth"], np.float32)[inds][:, None]
+        depth_mask = _depth_valid(depths, self.max_depth)
+        dvel = np.concatenate(
+            [np.zeros((1, 1), np.float32), depths[1:] - depths[:-1]]
+        )
+        depths = np.concatenate([depths, dvel], axis=-1)
+
+        feat_inds = np.asarray(rec["feat_ind"])[inds]
+        feats = self._load_feats(city, seq, frame, feat_inds)
+
+        one_hot = np.zeros(8, np.float32)
+        one_hot[cl - 11] = 1
+        out: Dict[str, Any] = {
+            "inputs": {
+                "feat_masks": feat_mask,
+                "bbox_masks": bbox_mask,
+                "bbox_vel_masks": vel_mask,
+                "trajectories": traj[: self.input_len],
+                "classes": np.array(cl - 11, np.int64),
+                "one_hot_classes": one_hot,
+                "depths": depths[: self.input_len],
+                "depth_masks": depth_mask[: self.input_len],
+                "feats": feats[: self.input_len],
+            },
+            "labels": {
+                "trajectories": traj[self.input_len :],
+                "output_inds": np.array(self.output_len - 1, np.int64),
+                "depths": depths[self.input_len :],
+                "depth_masks": depth_mask[self.input_len :],
+                "feats": feats[self.input_len :],
+            },
+            "meta": {
+                "city": city,
+                "seq": seq,
+                "frame": frame,
+                "track_id": rec["track_id"],
+                "instance_ind": rec.get("inst_ind", idx),
+            },
+        }
+        odom = self._load_odometry(city, seq, frame, inds)
+        if odom is not None:
+            out["inputs"]["odometry"] = odom
+        return out
+
+
+class FGSceneDataset:
+    """One sample = all instances of a scene, padded to ``pad_multiple``."""
+
+    def __init__(self, split: str, cfg: Dict[str, Any], card: DataCard,
+                 test: bool = False):
+        import pandas as pd
+
+        d = cfg.get("data", {})
+        self.split = split
+        self.test = test
+        self.input_len = int(d.get("input_len", 3))
+        self.output_len = 3
+        self.seq_len = self.input_len
+        self.use_ulbr = bool(cfg.get("use_bbox_ulbr"))
+        self.max_depth = d.get("max_depth")
+        self.require_most_recent = bool(d.get("require_most_recent"))
+        self.filter_car_gap = d.get("filter_car_gap")
+        self.filter_car_gap_borderdist = d.get(
+            "filter_car_gap_borderdist", self.filter_car_gap
+        )
+        self.add_car_offscreen = bool(d.get("add_car_offscreen_loc"))
+        self.output_ind = d.get("output_ind")
+        self.no_feats = bool(d.get("no_feats"))
+        self.use_3d_info = bool(d.get("use_3d_info"))
+        self.pad_multiple = int(d.get("instance_pad_multiple", 8))
+        self.background_dir = (
+            os.path.join(d["background_dir"], split)
+            if d.get("background_dir")
+            else None
+        )
+        card.num_classes = 19
+        card.extras.setdefault("img_size", list(IMG_SIZE))
+        card.extras["odom_size"] = 5
+
+        data_dir = d["data_dir"]
+        self.data = pd.read_pickle(os.path.join(data_dir, f"{split}_seq_meta.pkl"))
+        self.depth_data = pd.read_pickle(
+            os.path.join(d.get("depth_dir", data_dir), f"{split}_depth_seq_info.pkl")
+        )
+        feats_dir = d.get("feats_dir", data_dir)
+        self.feats_h5 = (
+            None if self.no_feats else LazyH5(os.path.join(feats_dir, f"{split}_feats.h5"))
+        )
+        self.data3d = None
+        if self.use_3d_info:
+            self.data3d = pd.read_pickle(
+                os.path.join(d.get("info_3d_dir", data_dir), f"{split}_3d_info.pkl")
+            )
+            self._d3_index = {
+                (r["city"], r["seq"], int(r["frame"])): i
+                for i, r in self.data3d.iterrows()
+            }
+        self.odom_pred_path = None
+        if d.get("odom_pred_dir"):
+            odom_name = d.get("odom_name", "predicted_odometry")
+            self.odom_pred_path = os.path.join(
+                d["odom_pred_dir"], f"{odom_name}_{split}.h5"
+            )
+
+        if split == "train":
+            all_bboxes = np.concatenate(list(self.data["bboxes"].values))
+            all_masks = np.concatenate(list(self.data["feat_mask"].values))
+            all_depths = np.concatenate(list(self.depth_data["depth"].values))
+            odom = (
+                np.stack(list(self.data3d["odometry"].values))
+                if self.use_3d_info
+                else None
+            )
+            compute_fg_stats(
+                all_bboxes, all_masks, all_depths, self.max_depth,
+                self.use_ulbr, self.input_len, self.output_len,
+                False, card, odometry=odom,
+            )
+
+        # Window per scene: val/export protocol (fg_scene_dataset.py:206-211).
+        self.index: List[Tuple[int, np.ndarray]] = []
+        inds = np.array([4, 7, 10, 13, 16, 19])
+        for idx in range(len(self.data)):
+            if self.output_ind == 0:
+                self.index.append((idx, inds + 6))
+            else:
+                self.index.append((idx, inds))
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def __getitem__(self, i: int) -> Dict[str, Any]:
+        idx, fr_inds = self.index[i]
+        rec = self.data.iloc[idx]
+        drec = self.depth_data.iloc[idx]
+        city, seq, frame = rec["city"], rec["seq"], int(rec["frame"])
+        in_l, out_l = self.input_len, self.output_len
+
+        feat_mask_all = np.asarray(rec["feat_mask"])[:, fr_inds]
+        feat_inds_all = np.asarray(rec["feat_ind"])[:, fr_inds]
+        if self.require_most_recent:
+            has_gt = feat_mask_all[:, in_l - 1].astype(bool)
+        else:
+            has_gt = feat_mask_all[:, :in_l].sum(1) > 0
+        feat_masks = feat_mask_all[has_gt].astype(bool)
+        feat_inds = feat_inds_all[has_gt]
+        track_ids = np.asarray(rec["track_id"])[has_gt]
+        classes = np.asarray(rec["class"])[has_gt].astype(np.int64)
+        n = len(track_ids)
+
+        bboxes = np.asarray(rec["bboxes"], np.float32)[has_gt][:, fr_inds]
+        bbox_mask = feat_mask_all[has_gt].astype(bool)
+        depths = np.asarray(drec["depth"], np.float32)[has_gt][:, fr_inds]
+
+        out_sel = self.output_ind if self.output_ind is not None else out_l - 1
+        target_frame = frame - 19 + int(fr_inds[in_l:][out_sel])
+
+        # per-instance heuristics (ULBR space)
+        for k in range(n):
+            if self.filter_car_gap is not None and classes[k] == 13:
+                bboxes[k], bbox_mask[k], feat_masks[k] = filter_car_gap(
+                    bboxes[k], bbox_mask[k], feat_masks[k],
+                    self.filter_car_gap, self.filter_car_gap_borderdist,
+                    in_l + out_l,
+                )
+            if self.add_car_offscreen and not self.test:
+                bboxes[k], bbox_mask[k] = add_car_offscreen_loc(
+                    int(classes[k]), bboxes[k], bbox_mask[k], in_l, out_l
+                )
+        if not self.use_ulbr:
+            bboxes = bbox_ulbr_to_cwh(bboxes)
+
+        bm = bbox_mask.astype(np.float32)
+        vel = np.concatenate(
+            [np.zeros((n, 1, 4), np.float32), bboxes[:, 1:] - bboxes[:, :-1]],
+            axis=1,
+        )
+        vel[:, 1:] *= (bm[:, :-1] * bm[:, 1:])[..., None]
+        vel_mask = np.concatenate(
+            [np.zeros((n, 1), bool), bbox_mask[:, 1:] & bbox_mask[:, :-1]], axis=1
+        )
+        traj = np.concatenate([bboxes, vel], axis=-1)
+
+        depths = depths[..., None]
+        depth_mask = _depth_valid(depths, self.max_depth)
+        dvel = np.concatenate(
+            [np.zeros((n, 1, 1), np.float32), depths[:, 1:] - depths[:, :-1]],
+            axis=1,
+        )
+        dvel[:, 1:] *= depth_mask[:, :-1] & depth_mask[:, 1:]
+        depths = np.concatenate([depths, dvel], axis=-1)
+
+        feats = np.zeros((n, len(fr_inds), 256, 14, 14), np.float32)
+        if self.feats_h5 is not None and n > 0:
+            dset = self.feats_h5[f"{city}/{seq}/{frame}"]
+            for k in range(n):
+                valid = feat_inds[k] != -1
+                if valid.any():
+                    feats[k][valid] = np.asarray(
+                        dset[list(feat_inds[k][valid])], np.float32
+                    )
+
+        odometry = None
+        if self.use_3d_info:
+            rec3d = self.data3d.iloc[self._d3_index[(city, seq, frame)]]
+            if self.odom_pred_path is not None:
+                import h5py
+
+                inp_odom = np.asarray(rec3d["odometry"], np.float32)[
+                    fr_inds[:in_l]
+                ]
+                start_fr = int(fr_inds[in_l - 1])
+                times = np.asarray(rec3d["times"], np.float64)[
+                    int(fr_inds[0]) : start_fr + 1
+                ]
+                avg_dt = float(np.mean(times[1:] - times[:-1]))
+                with h5py.File(self.odom_pred_path, "r") as f:
+                    preds = f[f"{city}/{seq}/{frame}/{start_fr}"][:]
+                expanded = expand_predicted_odom(preds, avg_dt)[[2, 5, 8]]
+                odometry = np.concatenate([inp_odom, expanded]).astype(np.float32)
+            else:
+                odometry = np.asarray(rec3d["odometry"], np.float32)[fr_inds]
+
+        # ---- pad to bucket ----
+        pad_n = max(
+            self.pad_multiple,
+            -(-max(n, 1) // self.pad_multiple) * self.pad_multiple,
+        )
+
+        def pad(x, fill=0):
+            if x.shape[0] == pad_n:
+                return x
+            padding = np.full((pad_n - x.shape[0],) + x.shape[1:], fill, x.dtype)
+            return np.concatenate([x, padding])
+
+        one_hot = np.zeros((n, 8), np.float32)
+        if n:
+            one_hot[np.arange(n), classes - 11] = 1
+
+        out: Dict[str, Any] = {
+            "inputs": {
+                "valid": pad(np.ones(n, bool)),
+                "feat_masks": pad(feat_masks),
+                "bbox_masks": pad(bbox_mask),
+                "bbox_vel_masks": pad(vel_mask),
+                "trajectories": pad(traj[:, :in_l].astype(np.float32)),
+                "depths": pad(depths[:, :in_l].astype(np.float32)),
+                "depth_masks": pad(depth_mask[:, :in_l]),
+                "classes": pad(classes - 11),
+                "one_hot_classes": pad(one_hot),
+                "feats": pad(feats[:, :in_l]),
+            },
+            "labels": {
+                "output_inds": pad(
+                    np.full(n, out_sel, np.int64), fill=out_sel
+                ),
+                "trajectories": pad(traj[:, in_l:].astype(np.float32)),
+                "depths": pad(depths[:, in_l:].astype(np.float32)),
+                "depth_masks": pad(depth_mask[:, in_l:]),
+                "feats": pad(feats[:, in_l:]),
+            },
+            "meta": {
+                "city": city,
+                "seq": seq,
+                "frame": frame,
+                "track_ids": track_ids,
+                "num_instances": n,
+                "target_frame": target_frame,
+                "fr_inds": fr_inds,
+            },
+        }
+        if odometry is not None:
+            out["inputs"]["odometry"] = np.broadcast_to(
+                odometry[None], (pad_n,) + odometry.shape
+            ).copy()
+        if self.background_dir is not None:
+            from .io import load_png
+
+            bg = load_png(
+                os.path.join(
+                    self.background_dir, city,
+                    f"{city}_{seq}_{target_frame:06d}_gtFine_labelIds.png",
+                )
+            )
+            out["inputs"]["background"] = bg.astype(np.int32)
+        return out

@@ -78,3 +78,16 @@ def build_bg_data(cfg, test: bool = False) -> TaskData:
     splits = cfg.get("data", {}).get("data_splits", ["train", "val"])
     datasets = {s: BGDataset(s, cfg, card, test=test) for s in splits}
     return TaskData(datasets=datasets, card=card)
+
+
+@register_dataset("fg")
+def build_fg_data(cfg, test: bool = False) -> TaskData:
+    from .fg_data import FGInstanceDataset, FGSceneDataset
+
+    card = DataCard(task="fg")
+    d = cfg.get("data", {})
+    dataset_type = d.get("dataset_type", "fg_instance")
+    splits = d.get("data_splits", ["train", "val"])
+    cls = FGSceneDataset if dataset_type == "fg_scene" else FGInstanceDataset
+    datasets = {s: cls(s, cfg, card, test=test) for s in splits}
+    return TaskData(datasets=datasets, card=card)

@@ -226,6 +226,132 @@ def write_bg_fixture(
     }
 
 
+def write_fg_fixture(
+    root: str,
+    splits=("train", "val"),
+    n_scenes: int = 3,
+    max_instances: int = 4,
+    seed: int = 0,
+) -> dict:
+    """FG artifact tree: instance/seq meta pkls, depth info pkls, feats h5,
+    3d info pkl — all format-compatible with data/fg_data.py readers.
+
+    Instances are moving boxes with smooth trajectories; features are
+    low-rank random fields so the distillation loss has structure.
+    Returns the config 'data' fragment.
+    """
+    import h5py
+    import pandas as pd
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    city = "synthcity"
+    for split in splits:
+        inst_rows, scene_rows, inst_depth_rows, scene_depth_rows, d3_rows = (
+            [], [], [], [], []
+        )
+        with h5py.File(os.path.join(root, f"{split}_feats.h5"), "w") as h5:
+            for s in range(n_scenes):
+                seq = f"{s:06d}"
+                frame = 19
+                n_inst = rng.randint(2, max_instances + 1)
+                scene_bboxes, scene_masks, scene_finds, scene_depths = (
+                    [], [], [], []
+                )
+                scene_tracks, scene_classes = [], []
+                all_feats = []
+                feat_counter = 0
+                for k in range(n_inst):
+                    cls = int(rng.choice([11, 13, 13, 14]))  # person/car/truck
+                    cx = rng.rand() * 1500 + 200
+                    cy = rng.rand() * 300 + 400
+                    vx = rng.randn() * 15
+                    vy = rng.randn() * 3
+                    w = rng.rand() * 150 + 60
+                    h = rng.rand() * 120 + 60
+                    boxes = np.zeros((30, 4), np.float32)
+                    mask = np.zeros(30, bool)
+                    finds = np.full(30, -1, np.int64)
+                    depth = np.full(30, -1.0, np.float32)
+                    d0 = rng.rand() * 30 + 8
+                    for t in range(30):
+                        x = cx + vx * t
+                        y = cy + vy * t
+                        boxes[t] = [x - w / 2, y - h / 2, x + w / 2, y + h / 2]
+                        visible = 0 < x < 2048 and rng.rand() > 0.1
+                        mask[t] = visible
+                        if visible:
+                            depth[t] = max(d0 - 0.2 * t, 1.0)
+                            finds[t] = feat_counter
+                            feat_counter += 1
+                    # low-rank features per instance, drifting over time
+                    u = rng.randn(14, 1, 8) * 0.5
+                    v = rng.randn(1, 14, 8) * 0.5
+                    base_feat = np.einsum("hxc,xwc->hwc", u, v)
+                    for t in range(30):
+                        if mask[t]:
+                            f = np.zeros((256, 14, 14), np.float32)
+                            f[:8] = np.moveaxis(base_feat, -1, 0) * (1 + 0.02 * t)
+                            all_feats.append(f)
+                    scene_bboxes.append(boxes)
+                    scene_masks.append(mask)
+                    scene_finds.append(finds)
+                    scene_depths.append(depth)
+                    scene_tracks.append(1000 + k)
+                    scene_classes.append(cls)
+                    inst_rows.append(
+                        {
+                            "city": city, "seq": seq, "frame": frame,
+                            "track_id": 1000 + k, "class": cls,
+                            "bboxes": boxes, "feat_mask": mask,
+                            "feat_ind": finds, "inst_ind": k,
+                        }
+                    )
+                    inst_depth_rows.append({"depth": depth})
+                h5.create_dataset(
+                    f"{city}/{seq}/{frame}",
+                    data=np.stack(all_feats) if all_feats else
+                    np.zeros((1, 256, 14, 14), np.float32),
+                )
+                scene_rows.append(
+                    {
+                        "city": city, "seq": seq, "frame": frame,
+                        "track_id": np.asarray(scene_tracks),
+                        "class": np.asarray(scene_classes),
+                        "bboxes": np.stack(scene_bboxes),
+                        "feat_mask": np.stack(scene_masks),
+                        "feat_ind": np.stack(scene_finds),
+                    }
+                )
+                scene_depth_rows.append({"depth": np.stack(scene_depths)})
+                odom = np.zeros((30, 5), np.float32)
+                odom[:, 0] = 8.0 + rng.rand()
+                odom[:, 1] = 0.01 * rng.randn()
+                odom[:, 2] = odom[:, 0] * 0.059
+                d3_rows.append(
+                    {
+                        "city": city, "seq": seq, "frame": frame,
+                        "odometry": odom,
+                        "times": np.arange(30) * 0.0589,
+                    }
+                )
+        pd.DataFrame(inst_rows).to_pickle(
+            os.path.join(root, f"{split}_instance_meta.pkl")
+        )
+        pd.DataFrame(inst_depth_rows).to_pickle(
+            os.path.join(root, f"{split}_depth_instance_info.pkl")
+        )
+        pd.DataFrame(scene_rows).to_pickle(
+            os.path.join(root, f"{split}_seq_meta.pkl")
+        )
+        pd.DataFrame(scene_depth_rows).to_pickle(
+            os.path.join(root, f"{split}_depth_seq_info.pkl")
+        )
+        pd.DataFrame(d3_rows).to_pickle(os.path.join(root, f"{split}_3d_info.pkl"))
+    return {"data_dir": root, "depth_dir": root, "feats_dir": root,
+            "info_3d_dir": root}
+
+
 def make_scene_sequence(
     n_frames: int,
     height: int = 64,

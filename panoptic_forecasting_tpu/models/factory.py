@@ -22,3 +22,10 @@ def build_bg_model(cfg, data_card=None):
     from .bg import BGModel
 
     return BGModel(cfg, data_card)
+
+
+@register_model("fg")
+def build_fg_model(cfg, data_card=None):
+    from .fg import FGModel
+
+    return FGModel(cfg, data_card)

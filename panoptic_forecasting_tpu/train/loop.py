@@ -57,7 +57,14 @@ def train(model, task_data, cfg: Dict[str, Any], writers=None,
     working_dir = cfg["working_dir"]
     verbose = bool(t.get("verbose"))
 
-    mesh = mesh or make_mesh()
+    if mesh is None:
+        # Size the DP mesh to the largest device count that divides the
+        # batch — otherwise shard_batch replicates and every device redoes
+        # the full batch (8x wasted compute on a virtual-device CPU mesh).
+        bs = int(t.get("batch_size", 1))
+        n_dev = len(jax.devices())
+        n = max(d for d in range(1, n_dev + 1) if bs % d == 0 or d == 1)
+        mesh = make_mesh(n_devices=n)
     repl = replicate(mesh)
 
     train_writer = writers[0] if writers else None
