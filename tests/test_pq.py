@@ -1,0 +1,182 @@
+"""PQ evaluator + panoptic file protocol: hand-computed golden cases."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from panoptic_forecasting_tpu.eval import pq
+from panoptic_forecasting_tpu.eval.panoptic_protocol import (
+    gt_panoptic_from_instance_ids,
+    relabel_panoptic_trainid_to_labelid,
+    segments_info_from_labelid_seg,
+    write_panoptic_png,
+)
+
+CAR = 26        # labelId, thing
+ROAD = 7        # labelId, stuff
+BUILDING = 11   # labelId, stuff
+
+
+def seg_info(*entries):
+    return [{"id": i, "category_id": c, "iscrowd": cr}
+            for i, c, cr in entries]
+
+
+def test_perfect_match_pq_one():
+    gt = np.zeros((10, 10), np.int64)
+    gt[:5] = CAR * 1000 + 0
+    gt[5:] = ROAD
+    res_stat = pq.pq_compute_single_image(
+        gt, seg_info((CAR * 1000, CAR, 0), (ROAD, ROAD, 0)),
+        gt.copy(), seg_info((CAR * 1000, CAR, 0), (ROAD, ROAD, 0)),
+    )
+    res = pq.summarize(res_stat)
+    # panopticapi averages only over classes with tp+fp+fn > 0
+    assert res["All"]["pq"] == pytest.approx(1.0)
+    assert res["All"]["n"] == 2
+    assert res["per_class"]["car"]["pq"] == pytest.approx(1.0)
+    assert res["per_class"]["road"]["pq"] == pytest.approx(1.0)
+    assert res["Things"]["pq"] == pytest.approx(1.0)
+    assert res["Stuff"]["pq"] == pytest.approx(1.0)
+
+
+def test_iou_exactly_half_does_not_match():
+    # Surround with ROAD (not void) so the void-discount doesn't shrink
+    # the union: inter 8, union 16 -> iou exactly 0.5 -> no match (strict >).
+    gt = np.full((2, 10), ROAD, np.int64)
+    gt[:, :6] = CAR * 1000
+    pred = np.full((2, 10), ROAD, np.int64)
+    pred[:, 2:8] = CAR * 1000
+    stat = pq.pq_compute_single_image(
+        gt, seg_info((CAR * 1000, CAR, 0), (ROAD, ROAD, 0)),
+        pred, seg_info((CAR * 1000, CAR, 0), (ROAD, ROAD, 0)),
+    )
+    s = stat.per_cat[CAR]
+    assert (s.tp, s.fp, s.fn) == (0, 1, 1)
+
+
+def test_partial_match_stats():
+    gt = np.zeros((4, 10), np.int64)
+    gt[0] = CAR * 1000 + 0
+    gt[1] = CAR * 1000 + 1
+    pred = np.zeros((4, 10), np.int64)
+    pred[0] = CAR * 1000 + 7  # matches gt instance 0 exactly
+    stat = pq.pq_compute_single_image(
+        gt, seg_info((CAR * 1000, CAR, 0), (CAR * 1000 + 1, CAR, 0)),
+        pred, seg_info((CAR * 1000 + 7, CAR, 0)),
+    )
+    s = stat.per_cat[CAR]
+    assert (s.tp, s.fp, s.fn) == (1, 0, 1)
+    assert s.iou == pytest.approx(1.0)
+    res = pq.summarize(stat)
+    assert res["per_class"]["car"]["pq"] == pytest.approx(1.0 / 1.5)
+
+
+def test_crowd_gt_absorbs_unmatched_pred_and_is_not_fn():
+    gt = np.zeros((4, 10), np.int64)
+    gt[:2] = CAR  # plain thing labelId < 1000 == crowd region
+    pred = np.zeros((4, 10), np.int64)
+    pred[:2] = CAR * 1000  # pred fully inside crowd, no real gt instance
+    stat = pq.pq_compute_single_image(
+        gt, seg_info((CAR, CAR, 1)),
+        pred, seg_info((CAR * 1000, CAR, 0)),
+    )
+    s = stat.per_cat.get(CAR, pq.PQStatCat())
+    assert (s.tp, s.fp, s.fn) == (0, 0, 0)
+
+
+def test_void_overlap_discounted_from_union():
+    # gt: half the pred's pixels are void (0); pred extends over both.
+    gt = np.zeros((2, 10), np.int64)
+    gt[0] = CAR * 1000
+    pred = np.zeros((2, 10), np.int64)
+    pred[:] = CAR * 1000
+    # inter 10, pred 20, gt 10; union = 10+20-10-|void∩pred|=10 -> iou 1.0
+    stat = pq.pq_compute_single_image(
+        gt, seg_info((CAR * 1000, CAR, 0)),
+        pred, seg_info((CAR * 1000, CAR, 0)),
+    )
+    s = stat.per_cat[CAR]
+    assert s.tp == 1
+    assert s.iou == pytest.approx(1.0)
+
+
+def test_mostly_void_pred_not_fp():
+    gt = np.zeros((2, 10), np.int64)  # all void
+    pred = np.zeros((2, 10), np.int64)
+    pred[0, :6] = CAR * 1000
+    stat = pq.pq_compute_single_image(
+        gt, [], pred, seg_info((CAR * 1000, CAR, 0)),
+    )
+    s = stat.per_cat.get(CAR, pq.PQStatCat())
+    assert s.fp == 0  # 100% void overlap -> discarded
+
+
+def test_relabel_trainid_to_labelid():
+    seg = np.array([[255, 0, 10], [13 * 1000 + 5, 11 * 1000, 2]], np.int64)
+    out = relabel_panoptic_trainid_to_labelid(seg)
+    assert out[0, 0] == 0            # void -> 0
+    assert out[0, 1] == 7            # road
+    assert out[0, 2] == 23           # sky
+    assert out[1, 0] == 26 * 1000 + 5  # car inst 5
+    assert out[1, 1] == 24 * 1000      # person inst 0
+    assert out[1, 2] == 11             # building
+
+
+def test_segments_info_and_png_roundtrip(tmp_path):
+    seg = np.zeros((8, 8), np.int64)
+    seg[:4] = 26 * 1000 + 3
+    seg[4:6] = 7
+    info = segments_info_from_labelid_seg(seg)
+    by_id = {s["id"]: s for s in info}
+    assert by_id[26 * 1000 + 3]["category_id"] == 26
+    assert by_id[7]["category_id"] == 7
+    assert 0 not in by_id
+    path = str(tmp_path / "pan.png")
+    write_panoptic_png(path, seg)
+    from panoptic_forecasting_tpu.data.io import load_png
+
+    decoded = pq.decode_panoptic_png(load_png(path))
+    np.testing.assert_array_equal(decoded, seg)
+
+
+def test_gt_conversion_from_instance_ids():
+    inst = np.zeros((6, 6), np.int64)
+    inst[0] = 7                # road stuff
+    inst[1] = 26               # car crowd region
+    inst[2] = 26002            # car instance
+    inst[3] = 9                # parking: ignored -> void
+    seg, segments = gt_panoptic_from_instance_ids(inst)
+    by_id = {s["id"]: s for s in segments}
+    assert by_id[7]["iscrowd"] == 0
+    assert by_id[26]["iscrowd"] == 1
+    assert by_id[26002] == {"id": 26002, "category_id": 26, "area": 6,
+                            "iscrowd": 0}
+    assert 9 not in by_id
+    assert (seg[3] == 0).all()
+
+
+def test_folder_protocol_self_eval_is_perfect(tmp_path):
+    rng = np.random.RandomState(0)
+    gt_dir = tmp_path / "gt"
+    os.makedirs(gt_dir)
+    anns = []
+    for i in range(2):
+        seg = np.zeros((16, 32), np.int64)
+        seg[:8] = ROAD
+        seg[8:12] = 26 * 1000 + i
+        seg[12:, rng.randint(0, 32)] = BUILDING
+        name = f"city_{i:06d}_000019"
+        fn = f"{name}_panoptic.png"
+        write_panoptic_png(str(gt_dir / fn), seg)
+        anns.append({"image_id": name, "file_name": fn,
+                     "segments_info": segments_info_from_labelid_seg(seg)})
+    jp = str(tmp_path / "gt.json")
+    with open(jp, "w") as f:
+        json.dump({"annotations": anns}, f)
+    res = pq.pq_compute_folders(jp, str(gt_dir), jp, str(gt_dir))
+    assert res["per_class"]["car"]["pq"] == pytest.approx(1.0)
+    assert res["per_class"]["road"]["pq"] == pytest.approx(1.0)
+    assert res["per_class"]["building"]["pq"] == pytest.approx(1.0)
