@@ -46,6 +46,16 @@ class BGModel(TaskModel):
                 self.depth_std = float(data_card.std("depth")[0])
             else:
                 self.depth_mean, self.depth_std = 0.0, 1.0
+        import os
+
+        hp = m.get("hardnet", {}) or {}
+        self.pretrain_path = hp.get("pretrain_path")
+        if self.pretrain_path and not os.path.exists(self.pretrain_path):
+            print(
+                f"WARNING: hardnet pretrain {self.pretrain_path} not found; "
+                "using fresh init"
+            )
+            self.pretrain_path = None
         self.module = HarDNet(n_classes=self.num_classes)
 
     # -- input assembly ----------------------------------------------------
@@ -99,7 +109,48 @@ class BGModel(TaskModel):
             jnp.asarray(inp["depth"]) if "depth" in inp else None,
             jnp.asarray(inp["depth_mask"]) if "depth_mask" in inp else None,
         )
-        return self.module.init(rng, x)
+        variables = self.module.init(rng, x)
+        if self.pretrain_path:
+            variables = self._load_pretrained(variables)
+        return variables
+
+    def _load_pretrained(self, variables):
+        """Merge Cityscapes FCHarDNet-70 weights (build_hardnet parity,
+        hardnet.py:390-404): widen the stem conv to our input channels by
+        mean-replication (expand_first_layer, :329-332) and keep the fresh
+        class head when num_classes != 19 (expand_last_layer, :334-339)."""
+        import flax
+
+        from .torch_import import load_hardnet_pickle
+
+        loaded = load_hardnet_pickle(self.pretrain_path)
+        params = flax.core.unfreeze(variables["params"])
+        stats = flax.core.unfreeze(variables.get("batch_stats", {}))
+        init_stem = params["base_0"]["conv"]["kernel"]
+        for name, p in loaded["params"].items():
+            if name == "base_0":
+                k = p["conv"]["kernel"]
+                c_in = init_stem.shape[2]
+                if k.shape[2] != c_in:
+                    k = jnp.broadcast_to(
+                        jnp.asarray(k).mean(axis=2, keepdims=True),
+                        k.shape[:2] + (c_in,) + k.shape[3:],
+                    )
+                params[name] = {"conv": {"kernel": k}, "norm": p["norm"]}
+            elif name == "finalConv":
+                if (
+                    p["kernel"].shape[-1]
+                    == params["finalConv"]["kernel"].shape[-1]
+                ):
+                    params[name] = p
+            else:
+                params[name] = p
+        for name, s in loaded["batch_stats"].items():
+            stats[name] = s
+        out = {"params": params}
+        if stats:
+            out["batch_stats"] = stats
+        return jax.tree_util.tree_map(jnp.asarray, out)
 
     def loss(self, params, state, batch, rng=None, train=True):
         variables = {"params": params, **state}

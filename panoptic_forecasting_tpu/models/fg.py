@@ -232,6 +232,17 @@ class FGModel(TaskModel):
         self.use_depth_sorting = bool(m.get("use_depth_sorting"))
         self.only_loc_feats = bool(m.get("only_loc_feats"))
         self.supervise_last_inp = True
+        mh = m.get("mask_head", {}) or {}
+        self.maskrcnn_pretrain_path = mh.get("maskrcnn_pretrain_path")
+        if self.maskrcnn_pretrain_path:
+            import os
+
+            if not os.path.exists(self.maskrcnn_pretrain_path):
+                print(
+                    "WARNING: mask head pretrain "
+                    f"{self.maskrcnn_pretrain_path} not found; fresh init"
+                )
+                self.maskrcnn_pretrain_path = None
         loss_type = m.get("loss_type", "smoothl1")
         key = {"smoothl1": "smooth_l1", "mse": "mse"}.get(loss_type)
         if key is None:
@@ -384,9 +395,23 @@ class FGModel(TaskModel):
         else:
             out_t = int(lab_tr.shape[1])
         inputs = jax.tree_util.tree_map(jnp.asarray, dict(inputs))
-        return nn.init(
+        variables = nn.init(
             lambda m: self._run(m, inputs, out_t), self.module
         )(rng)
+        if self.maskrcnn_pretrain_path:
+            # detectron2 roi_heads.mask_head.* weights
+            # (mask_rcnn_conv_upsample_head.py:52-61)
+            import flax
+
+            from .torch_import import load_maskrcnn_head_pickle
+
+            params = flax.core.unfreeze(variables["params"])
+            params["mask_head"] = jax.tree_util.tree_map(
+                jnp.asarray,
+                load_maskrcnn_head_pickle(self.maskrcnn_pretrain_path),
+            )
+            variables = {**variables, "params": params}
+        return variables
 
     def loss(self, params, state, batch, rng=None, train=True):
         variables = {"params": params, **state}
