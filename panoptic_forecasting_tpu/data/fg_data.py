@@ -288,10 +288,10 @@ class FGInstanceDataset:
         return len(self.index)
 
     def _load_feats(self, city, seq, frame, feat_inds) -> np.ndarray:
-        feats = np.zeros((len(feat_inds), 256, 14, 14), np.float32)
         if self.feats_h5 is None:
-            return feats
+            return np.zeros((len(feat_inds), 256, 14, 14), np.float32)
         dset = self.feats_h5[f"{city}/{seq}/{frame}"]
+        feats = np.zeros((len(feat_inds),) + dset.shape[1:], np.float32)
         valid = feat_inds != -1
         if valid.any():
             feats[valid] = np.asarray(dset[list(feat_inds[valid])], np.float32)
@@ -540,9 +540,11 @@ class FGSceneDataset:
         dvel[:, 1:] *= depth_mask[:, :-1] & depth_mask[:, 1:]
         depths = np.concatenate([depths, dvel], axis=-1)
 
-        feats = np.zeros((n, len(fr_inds), 256, 14, 14), np.float32)
         if self.feats_h5 is not None and n > 0:
             dset = self.feats_h5[f"{city}/{seq}/{frame}"]
+            feats = np.zeros((n, len(fr_inds)) + dset.shape[1:], np.float32)
+        else:
+            feats = np.zeros((n, len(fr_inds), 256, 14, 14), np.float32)
             for k in range(n):
                 valid = feat_inds[k] != -1
                 if valid.any():

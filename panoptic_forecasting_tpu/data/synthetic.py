@@ -232,6 +232,8 @@ def write_fg_fixture(
     n_scenes: int = 3,
     max_instances: int = 4,
     seed: int = 0,
+    feat_channels: int = 256,
+    feat_hw: int = 14,
 ) -> dict:
     """FG artifact tree: instance/seq meta pkls, depth info pkls, feats h5,
     3d info pkl — all format-compatible with data/fg_data.py readers.
@@ -285,12 +287,14 @@ def write_fg_fixture(
                             finds[t] = feat_counter
                             feat_counter += 1
                     # low-rank features per instance, drifting over time
-                    u = rng.randn(14, 1, 8) * 0.5
-                    v = rng.randn(1, 14, 8) * 0.5
+                    u = rng.randn(feat_hw, 1, 8) * 0.5
+                    v = rng.randn(1, feat_hw, 8) * 0.5
                     base_feat = np.einsum("hxc,xwc->hwc", u, v)
                     for t in range(30):
                         if mask[t]:
-                            f = np.zeros((256, 14, 14), np.float32)
+                            f = np.zeros(
+                                (feat_channels, feat_hw, feat_hw), np.float32
+                            )
                             f[:8] = np.moveaxis(base_feat, -1, 0) * (1 + 0.02 * t)
                             all_feats.append(f)
                     scene_bboxes.append(boxes)
@@ -311,7 +315,7 @@ def write_fg_fixture(
                 h5.create_dataset(
                     f"{city}/{seq}/{frame}",
                     data=np.stack(all_feats) if all_feats else
-                    np.zeros((1, 256, 14, 14), np.float32),
+                    np.zeros((1, feat_channels, feat_hw, feat_hw), np.float32),
                 )
                 scene_rows.append(
                     {

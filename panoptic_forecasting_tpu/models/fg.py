@@ -90,6 +90,12 @@ class FGCore(nn.Module):
     num_traj_out_layers: int = 2
     use_traj_inst_feats: bool = True
     use_mask_traj_feats: bool = True
+    # ROI feature geometry: 256x14x14 MaskRCNN features in production
+    # (fg_model.py shapes); configurable so tiny CI/dryrun shapes compile
+    # and run fast on hosts with few cores.
+    mask_feat_channels: int = 256
+    mask_feat_hw: int = 14
+    mask_head_conv_dim: int = 256
 
     def setup(self):
         if self.rnn_type == "gru":
@@ -111,11 +117,14 @@ class FGCore(nn.Module):
             self.instance_feat_channels, (1, 1), use_bias=True
         )
         self.instance_feat_model = nn.Dense(self.instance_feat_hidden)
-        self.mask_encoder = ConvLSTMStack(256, self.num_convlstm_layers)
-        self.mask_decoder = ConvLSTMStack(256, self.num_convlstm_layers)
-        self.mask_encoder_out = nn.Conv(256, (1, 1), use_bias=True)
-        self.mask_decoder_out = nn.Conv(256, (1, 1), use_bias=True)
-        self.mask_head = MaskRCNNConvUpsampleHead()
+        c = self.mask_feat_channels
+        self.mask_encoder = ConvLSTMStack(c, self.num_convlstm_layers)
+        self.mask_decoder = ConvLSTMStack(c, self.num_convlstm_layers)
+        self.mask_encoder_out = nn.Conv(c, (1, 1), use_bias=True)
+        self.mask_decoder_out = nn.Conv(c, (1, 1), use_bias=True)
+        self.mask_head = MaskRCNNConvUpsampleHead(
+            conv_dim=self.mask_head_conv_dim
+        )
 
     def compress_inst_feats(self, feats, mask):
         """(..., 14, 14, 256) -> (..., instance_feat_hidden), masked.
@@ -153,8 +162,9 @@ class FGCore(nn.Module):
         current_traj = current_traj + self.traj_decoder_out(dec_out)
         if self.use_mask_traj_feats:
             tf = self.traj_feat_out(dec_out)
+            hw = self.mask_feat_hw
             tf = jnp.broadcast_to(
-                tf[:, None, None, :], tf.shape[:1] + (14, 14, tf.shape[-1])
+                tf[:, None, None, :], tf.shape[:1] + (hw, hw, tf.shape[-1])
             )
             mask_inp = jnp.concatenate([tf, current_feats], axis=-1)
         else:
@@ -184,14 +194,16 @@ class FGCore(nn.Module):
 
         if self.use_mask_traj_feats:
             tf = self.traj_feat_out(enc_outs)  # (B, T, 16)
+            hw = self.mask_feat_hw
             tf = jnp.broadcast_to(
-                tf[:, :, None, None, :], tf.shape[:2] + (14, 14, tf.shape[-1])
+                tf[:, :, None, None, :], tf.shape[:2] + (hw, hw, tf.shape[-1])
             )
             enc_mask_inp = jnp.concatenate([tf, feats], axis=-1)
         else:
             enc_mask_inp = feats
         m0 = ConvLSTMStack.init_state(
-            self.num_convlstm_layers, b, 14, 14, 256, feats.dtype
+            self.num_convlstm_layers, b, self.mask_feat_hw,
+            self.mask_feat_hw, self.mask_feat_channels, feats.dtype,
         )
         menc = nn.scan(
             lambda m, c, x: m.encode_mask_step(c, x), in_axes=1, out_axes=1,
@@ -282,7 +294,13 @@ class FGModel(TaskModel):
             num_traj_out_layers=int(m.get("num_traj_out_layers", 1)),
             use_traj_inst_feats=not m.get("no_traj_inst_feats", False),
             use_mask_traj_feats=not m.get("no_mask_traj_feats", False),
+            mask_feat_channels=int(m.get("mask_feat_channels", 256)),
+            mask_feat_hw=int(m.get("mask_feat_hw", 14)),
+            mask_head_conv_dim=int(
+                mh.get("conv_dim", m.get("mask_feat_channels", 256))
+            ),
         )
+        self.mask_feat_channels = self.module.mask_feat_channels
 
     # -- normalization -----------------------------------------------------
     def _full_stats(self):
@@ -310,7 +328,7 @@ class FGModel(TaskModel):
     def _run(self, module: FGCore, inputs, out_t: int) -> Dict[str, jnp.ndarray]:
         trajs = jnp.asarray(inputs["trajectories"], jnp.float32)[..., : self.traj_dim]
         feats = jnp.asarray(inputs["feats"], jnp.float32)
-        if feats.shape[-1] != 256:  # NCHW -> NHWC
+        if feats.shape[-1] != self.mask_feat_channels:  # NCHW -> NHWC
             feats = jnp.moveaxis(feats, -3, -1)
         inp_t = trajs.shape[1]
         bbox_masks = jnp.asarray(inputs["bbox_masks"], jnp.float32)[:, :inp_t]
@@ -499,7 +517,7 @@ class FGModel(TaskModel):
         ]
         inp_f = jnp.asarray(inputs["feats"], jnp.float32)
         lab_f = jnp.asarray(labels["feats"], jnp.float32)
-        if inp_f.shape[-1] != 256:
+        if inp_f.shape[-1] != self.mask_feat_channels:
             inp_f = jnp.moveaxis(inp_f, -3, -1)
             lab_f = jnp.moveaxis(lab_f, -3, -1)
         target = jnp.concatenate([inp_f[:, -1:], lab_f], axis=1)
