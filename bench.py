@@ -78,25 +78,39 @@ def main() -> None:
             width=W,
         )
 
-    fn = jax.jit(forecast)
     # NOTE on methodology: this platform memoizes identical (executable,
-    # args) calls and block_until_ready alone does not force execution
-    # through the device tunnel — so every timed iteration uses perturbed
-    # inputs and the clock stops only after fetching a checksum value.
-    csum = jax.jit(lambda l, d: (l.astype(jnp.int32).sum(), d.sum()))
-    args = (jnp.asarray(depth), jnp.asarray(seg), jnp.asarray(speeds), jnp.asarray(yaws))
-    lab, dep = fn(*args)  # compile
-    _ = tuple(float(x) for x in csum(lab, dep))
+    # args) calls, block_until_ready alone does not force execution through
+    # the device tunnel, and host<->device transfers ride a network tunnel
+    # (25 MB input upload ≈ 200 ms — would swamp the kernel). So: K
+    # forecasts over on-device-perturbed inputs run inside ONE jitted scan
+    # (distinct inputs defeat memoization, zero per-iter uploads), the clock
+    # stops after fetching a scalar checksum, and the single tunnel RTT is
+    # amortized over K.
+    K = 20
 
-    n_iters = 5
+    @jax.jit
+    def bench_loop(depth, seg, speeds, yaws, salt):
+        def body(carry, k):
+            lab, dep = forecast(
+                depth + 0.001 * (k.astype(jnp.float32) + salt), seg,
+                speeds, yaws,
+            )
+            return carry + lab.astype(jnp.int32).sum() + dep.sum().astype(
+                jnp.int32
+            ), ()
+
+        total, _ = jax.lax.scan(
+            body, jnp.int32(0), jnp.arange(1, K + 1)
+        )
+        return total
+
+    args = (jnp.asarray(depth), jnp.asarray(seg), jnp.asarray(speeds), jnp.asarray(yaws))
+    _ = int(bench_loop(*args, jnp.float32(0)))  # compile + warm
     times = []
-    for i in range(n_iters):
-        d_i = args[0] + np.float32(0.001 * (i + 1))
-        _ = float(d_i[0, 0, 0])  # materialize input, drain queue
+    for i in range(3):
         t0 = time.perf_counter()
-        lab, dep = fn(d_i, *args[1:])
-        _ = tuple(float(x) for x in csum(lab, dep))
-        times.append(time.perf_counter() - t0)
+        _ = int(bench_loop(*args, jnp.float32(i + 1)))
+        times.append((time.perf_counter() - t0) / K)
     dt = min(times)
     fps = 1.0 / dt
 

@@ -127,29 +127,24 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
     # out-of-bounds points.
     fu = jnp.clip(ui + gu, 0, width - 1) - cu0
     fv = jnp.clip(vi + gv, 0, height - 1) - cv0
-    base = cv0 * width + cu0
-    frac = fv * 2 + fu
+    # One fused sort operand: group = (pixel, corner) — 4·H·W < 2^31 for
+    # Cityscapes-scale canvases. 2-operand sort moves 1/3 less data than the
+    # previous (base, frac, key) 3-operand sort; the corner canvases come
+    # back from ONE collision-free scatter into a (P, 4) canvas.
+    group = (cv0 * width + cu0) * 4 + (fv * 2 + fu)
 
-    # Sort by (base, frac, key): within each (base, frac) group the packed
-    # keys are ascending, so each group's FIRST element is its min — no
-    # segmented scan needed, just run-start detection + one unique-index
-    # scatter per frac group.
-    base_s, frac_s, key_s = jax.lax.sort((base, frac, key), num_keys=3)
-    group = base_s * 4 + frac_s
+    group_s, key_s = jax.lax.sort((group, key), num_keys=2)
     group_start = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), group[1:] != group[:-1]]
+        [jnp.ones((1,), jnp.bool_), group_s[1:] != group_s[:-1]]
     )
 
-    def group_min_canvas(g):
-        sel = group_start & (frac_s == g)
-        tgt = jnp.where(sel, base_s, num_pixels)
-        canvas = jnp.full((num_pixels,), EMPTY, jnp.int32)
-        return canvas.at[tgt].set(key_s, mode="drop", unique_indices=True)
-
-    g0 = group_min_canvas(0)  # fu=0, fv=0 — contributes to base only
-    g1 = group_min_canvas(1)  # fu=1        — base and base+1
-    g2 = group_min_canvas(2)  # fv=1        — base and base+W
-    g3 = group_min_canvas(3)  # both        — all four corners
+    # Within a group the packed keys are ascending, so each group's FIRST
+    # element is its min: scatter run starts into the (P*4,) canvas.
+    tgt = jnp.where(group_start, group_s, num_pixels * 4)
+    canvas4 = jnp.full((num_pixels * 4,), EMPTY, jnp.int32)
+    canvas4 = canvas4.at[tgt].set(key_s, mode="drop", unique_indices=True)
+    g = canvas4.reshape(num_pixels, 4)
+    g0, g1, g2, g3 = g[:, 0], g[:, 1], g[:, 2], g[:, 3]
 
     def shift(c, off):
         return jnp.concatenate([jnp.full((off,), EMPTY, jnp.int32), c[:-off]])
