@@ -23,10 +23,21 @@ def read_json_file(path: str) -> dict:
 
 
 def load_png(path: str) -> np.ndarray:
+    """PNG read — libpng-backed when the native library is built
+    (panoptic_forecasting_tpu/native), PIL otherwise."""
+    from .. import native
+
+    if native.available():
+        return native.load_png(path)
     return np.array(Image.open(path))
 
 
 def save_png(path: str, arr: np.ndarray) -> None:
+    from .. import native
+
+    if native.available():
+        native.save_png(path, np.asarray(arr))
+        return
     os.makedirs(os.path.dirname(path), exist_ok=True)
     Image.fromarray(arr).save(path)
 

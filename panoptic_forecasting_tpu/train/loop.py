@@ -164,11 +164,21 @@ def train(model, task_data, cfg: Dict[str, Any], writers=None,
                 counters[k] = counters.get(k, 0.0) + float(v)
         return {k: v / max(n, 1.0) for k, v in counters.items()}
 
+    # ---- optional profiling (reference has none, SURVEY §5.1; here a
+    # first-class switch: training.profile_dir captures a jax.profiler
+    # trace of the first profile_steps train steps) --------------------------
+    profile_dir = t.get("profile_dir")
+    profile_steps = int(t.get("profile_steps", 5))
+    profiling = False
+
     # ---- epoch loop -------------------------------------------------------
     history = []
     for epoch in range(start_epoch, num_epochs + 1):
         t0 = time.time()
         train_loader.set_epoch(epoch)
+        if profile_dir and epoch == start_epoch:
+            jax.profiler.start_trace(profile_dir)
+            profiling = True
         # torch schedulers step at epoch end → epoch e runs at sched(e-1).
         opt_state = set_lr(opt_state, lr_sched(epoch - 1))
 
@@ -195,6 +205,11 @@ def train(model, task_data, cfg: Dict[str, Any], writers=None,
                     params, mstate, opt_state, batch, sub
                 )
                 step += 1
+            if profiling and batch_ind + 1 >= profile_steps:
+                jax.block_until_ready(params)
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"profiler trace written to {profile_dir}")
             sums = jax.device_get(sums)
             n_samples += float(count)
             for k, v in sums.items():
@@ -202,6 +217,11 @@ def train(model, task_data, cfg: Dict[str, Any], writers=None,
             if verbose:
                 print(f"\tBATCH {batch_ind + 1}: {float(sums['loss']) / max(float(count), 1):.6f}")
 
+        if profiling:  # epoch shorter than profile_steps
+            jax.block_until_ready(params)
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"profiler trace written to {profile_dir}")
         train_scalars = {k: v / max(n_samples, 1.0) for k, v in counters.items()}
         if train_writer is not None:
             train_writer.add_scalars(train_scalars, epoch)

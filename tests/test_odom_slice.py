@@ -127,3 +127,26 @@ def test_gradient_accumulation_matches_big_batch(odom_cfg):
     result = train(model, data, cfg)
     assert result["step"] == 2 * 6  # steps_per_epoch*accum batches / accum
     assert np.isfinite(result["best_val_result"])
+
+
+def test_profiler_trace_capture(odom_cfg, tmp_path):
+    """training.profile_dir writes a jax.profiler trace (SURVEY §5.1)."""
+    import glob as _glob
+
+    from panoptic_forecasting_tpu.train.loop import train
+
+    cfg = dict(odom_cfg)
+    cfg["working_dir"] = str(tmp_path / "run")
+    os.makedirs(cfg["working_dir"], exist_ok=True)
+    prof = str(tmp_path / "prof")
+    cfg["training"] = dict(
+        cfg["training"], num_epochs=1, steps_per_epoch=3,
+        profile_dir=prof, profile_steps=2,
+    )
+    data = build_dataset(cfg)
+    model = build_model(cfg, data.card)
+    train(model, data, cfg)
+    traces = _glob.glob(os.path.join(prof, "**", "*.trace.json.gz"),
+                        recursive=True) + _glob.glob(
+        os.path.join(prof, "**", "*.xplane.pb"), recursive=True)
+    assert traces, f"no trace files under {prof}"
