@@ -231,8 +231,25 @@ class FGInstanceDataset:
             os.path.join(d.get("depth_dir", data_dir), f"{split}_depth_instance_info.pkl")
         )
         feats_dir = d.get("feats_dir", data_dir)
+        # Condensed-feats variant: alternative h5 + row-aligned feat_ind
+        # table (fg_instance_dataset.py:64-68, 371-375).
+        self.use_condensed_feats = bool(d.get("use_condensed_feats"))
+        feats_name = (
+            f"{split}_condensed_feats.h5"
+            if self.use_condensed_feats
+            else f"{split}_feats.h5"
+        )
+        self.feats_meta = (
+            pd.read_pickle(
+                os.path.join(
+                    feats_dir, f"{split}_instance_condensed_feat_info.pkl"
+                )
+            )
+            if self.use_condensed_feats and not self.no_feats
+            else None
+        )
         self.feats_h5 = (
-            None if self.no_feats else LazyH5(os.path.join(feats_dir, f"{split}_feats.h5"))
+            None if self.no_feats else LazyH5(os.path.join(feats_dir, feats_name))
         )
         self.data3d = None
         if self.use_3d_info:
@@ -355,7 +372,10 @@ class FGInstanceDataset:
         )
         depths = np.concatenate([depths, dvel], axis=-1)
 
-        feat_inds = np.asarray(rec["feat_ind"])[inds]
+        if self.feats_meta is not None:
+            feat_inds = np.asarray(self.feats_meta.iloc[idx]["feat_ind"])[inds]
+        else:
+            feat_inds = np.asarray(rec["feat_ind"])[inds]
         feats = self._load_feats(city, seq, frame, feat_inds)
 
         one_hot = np.zeros(8, np.float32)
@@ -433,8 +453,24 @@ class FGSceneDataset:
             os.path.join(d.get("depth_dir", data_dir), f"{split}_depth_seq_info.pkl")
         )
         feats_dir = d.get("feats_dir", data_dir)
+        # Condensed-feats variant (fg_scene_dataset.py:68-72, 352).
+        self.use_condensed_feats = bool(d.get("use_condensed_feats"))
+        feats_name = (
+            f"{split}_condensed_feats.h5"
+            if self.use_condensed_feats
+            else f"{split}_feats.h5"
+        )
+        self.feats_meta = (
+            pd.read_pickle(
+                os.path.join(
+                    feats_dir, f"{split}_seq_condensed_feat_info.pkl"
+                )
+            )
+            if self.use_condensed_feats and not self.no_feats
+            else None
+        )
         self.feats_h5 = (
-            None if self.no_feats else LazyH5(os.path.join(feats_dir, f"{split}_feats.h5"))
+            None if self.no_feats else LazyH5(os.path.join(feats_dir, feats_name))
         )
         self.data3d = None
         if self.use_3d_info:
@@ -487,7 +523,12 @@ class FGSceneDataset:
         in_l, out_l = self.input_len, self.output_len
 
         feat_mask_all = np.asarray(rec["feat_mask"])[:, fr_inds]
-        feat_inds_all = np.asarray(rec["feat_ind"])[:, fr_inds]
+        if self.feats_meta is not None:
+            feat_inds_all = np.asarray(
+                self.feats_meta.iloc[idx]["feat_ind"]
+            )[:, fr_inds]
+        else:
+            feat_inds_all = np.asarray(rec["feat_ind"])[:, fr_inds]
         if self.require_most_recent:
             has_gt = feat_mask_all[:, in_l - 1].astype(bool)
         else:

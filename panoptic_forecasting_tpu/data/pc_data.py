@@ -91,9 +91,19 @@ class PCTransformDataset:
         self.vehicle_dir = os.path.join(
             self.cityscapes_dir, "vehicle_sequence", split
         )
-        self.disparity_dir = os.path.join(
-            self.cityscapes_dir, "disparity_sequence", split
-        )
+        # Depth source variants (pc_transform_dataset.py:46-53, 246-292):
+        # stereo disparity_sequence PNGs (default), cascade-stereo PNGs
+        # (flat layout, float encoding), or monodepth .npy disparities
+        # scaled by monodepth_factor.
+        self.use_cascade_disps = bool(d.get("use_cascade_disps"))
+        self.use_mono = bool(d.get("use_mono"))
+        self.monodepth_factor = float(d.get("monodepth_factor", 5.4))
+        if d.get("disparity_dir"):
+            self.disparity_dir = os.path.join(d["disparity_dir"], split)
+        else:
+            self.disparity_dir = os.path.join(
+                self.cityscapes_dir, "disparity_sequence", split
+            )
         card.num_classes = 19
 
         import pandas as pd
@@ -218,14 +228,37 @@ class PCTransformDataset:
                     f"pred_mask_{city}_{seq}_{fr:06d}_leftImg8bit.png",
                 )
             )
-            depth, mask = load_depth(
-                os.path.join(
-                    self.disparity_dir, city,
-                    f"{city}_{seq}_{fr:06d}_disparity.png",
-                ),
-                baseline,
-                float(intr.fx),
-            )
+            if self.use_cascade_disps:
+                depth, mask = load_depth(
+                    os.path.join(
+                        self.disparity_dir,
+                        f"{city}_{seq}_{fr:06d}_leftImg8bit.png",
+                    ),
+                    baseline,
+                    float(intr.fx),
+                    use_cascade=True,
+                )
+            elif self.use_mono:
+                disps = np.load(
+                    os.path.join(
+                        self.disparity_dir, city,
+                        f"{city}_{seq}_{fr:06d}_leftImg8bit_disp.npy",
+                    )
+                )[0, 0]
+                disps = _resize_bilinear(disps, 1024, 2048)
+                depth = (
+                    self.monodepth_factor / np.maximum(disps, 1e-9)
+                ).astype(np.float32)
+                mask = np.ones_like(depth, bool)
+            else:
+                depth, mask = load_depth(
+                    os.path.join(
+                        self.disparity_dir, city,
+                        f"{city}_{seq}_{fr:06d}_disparity.png",
+                    ),
+                    baseline,
+                    float(intr.fx),
+                )
             if self.no_moving_objects:
                 mask = mask & ~np.isin(seg, MOVING_LABEL_IDS)
             segs.append(seg.astype(np.int32))
@@ -249,3 +282,27 @@ class PCTransformDataset:
                 "target_frame": frame - 19 + target,
             },
         }
+
+
+def _resize_bilinear(arr: np.ndarray, dh: int, dw: int) -> np.ndarray:
+    """cv2.INTER_LINEAR-equivalent resize for monodepth disparity maps
+    (pc_transform_dataset.py:269; half-pixel convention, pure numpy)."""
+    sh, sw = arr.shape
+    if (sh, sw) == (dh, dw):
+        return arr
+    ys = (np.arange(dh) + 0.5) * sh / dh - 0.5
+    xs = (np.arange(dw) + 0.5) * sw / dw - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, sh - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, sw - 1)
+    y1 = np.minimum(y0 + 1, sh - 1)
+    x1 = np.minimum(x0 + 1, sw - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    a = arr[y0[:, None], x0[None, :]]
+    b = arr[y0[:, None], x1[None, :]]
+    c = arr[y1[:, None], x0[None, :]]
+    d = arr[y1[:, None], x1[None, :]]
+    return (
+        a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+        + c * wy * (1 - wx) + d * wy * wx
+    ).astype(arr.dtype)

@@ -13,9 +13,15 @@ from panoptic_forecasting_tpu.models.fg import expand_traj_mask
 
 
 def _fg_model_cfg():
+    # Tiny ROI-feature geometry (32ch 7x7 vs production 256ch 14x14): same
+    # structure, ~50x less ConvLSTM compute on the 1-core CI host. The
+    # production geometry is exercised by __graft_entry__.entry().
     return {
+        "mask_feat_channels": 32,
+        "mask_feat_hw": 7,
+        "mask_head": {"conv_dim": 32},
         "instance_feat_channels": 8,
-        "instance_feat_hidden": 64,
+        "instance_feat_hidden": 32,
         "loss_type": "smoothl1",
         "mask_distill_coef": 1.0,
         "num_convlstm_layers": 2,
@@ -27,14 +33,14 @@ def _fg_model_cfg():
         "use_depth_inp": True,
         "use_odometry": True,
         "use_depth_sorting": True,
-        "mask_head": {},
     }
 
 
 @pytest.fixture(scope="module")
 def fg_root(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("fg"))
-    write_fg_fixture(root, n_scenes=3, max_instances=3)
+    write_fg_fixture(root, n_scenes=3, max_instances=3, feat_channels=32,
+                     feat_hw=7)
     return root
 
 
@@ -90,10 +96,10 @@ def test_instance_dataset_sample(fg_cfg):
     assert len(ds) > 0
     s = ds[0]
     assert s["inputs"]["trajectories"].shape == (3, 8)
-    assert s["inputs"]["feats"].shape == (3, 256, 14, 14)
+    assert s["inputs"]["feats"].shape == (3, 32, 7, 7)
     assert s["inputs"]["odometry"].shape == (6, 5)
     assert s["labels"]["trajectories"].shape == (3, 8)
-    assert s["labels"]["feats"].shape == (3, 256, 14, 14)
+    assert s["labels"]["feats"].shape == (3, 32, 7, 7)
     assert s["inputs"]["depths"].shape == (3, 2)
     assert 0 <= int(s["inputs"]["classes"]) <= 7
 
@@ -119,8 +125,8 @@ def test_fg_forward_shapes_and_loss(fg_cfg):
         3,
     )
     assert preds["unnormalized_trajectory"].shape == (4, 4, 10)
-    assert preds["mask_feats"].shape == (4, 4, 14, 14, 256)
-    assert preds["masks"].shape == (4, 28, 28)
+    assert preds["mask_feats"].shape == (4, 4, 7, 7, 32)
+    assert preds["masks"].shape == (4, 14, 14)
 
 
 def test_fg_training_single_step(fg_cfg):
@@ -177,7 +183,7 @@ def test_scene_dataset_padding(fg_scene_cfg):
     n_pad = s["inputs"]["valid"].shape[0]
     assert n_pad % 4 == 0
     assert s["inputs"]["trajectories"].shape == (n_pad, 3, 8)
-    assert s["inputs"]["feats"].shape == (n_pad, 3, 256, 14, 14)
+    assert s["inputs"]["feats"].shape == (n_pad, 3, 32, 7, 7)
     assert s["inputs"]["odometry"].shape == (n_pad, 6, 5)
     n = s["meta"]["num_instances"]
     assert s["inputs"]["valid"][:n].all()
@@ -231,3 +237,42 @@ def _scene_init_batch(batch):
             "output_inds": np.asarray(batch["labels"]["output_inds"]).reshape(-1),
         },
     }
+
+
+def test_condensed_feats_variant(tmp_path):
+    """use_condensed_feats: alternate h5 + row-aligned feat_ind table
+    (fg_instance_dataset.py:64-68, fg_scene_dataset.py:68-72)."""
+    import shutil
+
+    import pandas as pd
+
+    root = str(tmp_path / "fix")
+    write_fg_fixture(root, splits=("val",), n_scenes=2, max_instances=2)
+    shutil.copy(f"{root}/val_feats.h5", f"{root}/val_condensed_feats.h5")
+    imeta = pd.read_pickle(f"{root}/val_instance_meta.pkl")
+    pd.to_pickle(imeta[["feat_ind"]],
+                 f"{root}/val_instance_condensed_feat_info.pkl")
+    smeta = pd.read_pickle(f"{root}/val_seq_meta.pkl")
+    pd.to_pickle(smeta[["feat_ind"]],
+                 f"{root}/val_seq_condensed_feat_info.pkl")
+
+    base = {
+        "task": "fg", "seed": 0, "working_dir": root + "/run",
+        "data": {"dataset_type": "fg_instance", "data_splits": ["val"],
+                 "data_dir": root, "depth_dir": root, "feats_dir": root,
+                 "info_3d_dir": root, "use_3d_info": True, "max_depth": 200},
+        "model": {"mask_head": {}}, "training": {"batch_size": 1},
+    }
+    import copy
+
+    for dstype in ("fg_instance", "fg_scene"):
+        cfg_a = copy.deepcopy(base)
+        cfg_a["data"]["dataset_type"] = dstype
+        cfg_b = copy.deepcopy(cfg_a)
+        cfg_b["data"]["use_condensed_feats"] = True
+        da = build_dataset(cfg_a, test=True).datasets["val"]
+        db = build_dataset(cfg_b, test=True).datasets["val"]
+        sa, sb = da[0], db[0]
+        np.testing.assert_array_equal(
+            sa["inputs"]["feats"], sb["inputs"]["feats"]
+        )
