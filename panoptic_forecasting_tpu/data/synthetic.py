@@ -153,6 +153,11 @@ def write_cityscapes_fixture(
         Image.fromarray(segs[19].astype(np.uint8)).save(
             os.path.join(gt_p, f"{name}_gtFine_labelTrainIds.png")
         )
+        # instanceIds: stuff scenes -> plain labelIds (valid panoptic GT
+        # for the in-tree evaluator; no thing instances in the fixture)
+        Image.fromarray(lut[segs[19]].astype(np.uint16)).save(
+            os.path.join(gt_p, f"{name}_gtFine_instanceIds.png")
+        )
     import pandas as pd
 
     pd.DataFrame(rows).to_pickle(os.path.join(root, f"{split}_3d_info.pkl"))

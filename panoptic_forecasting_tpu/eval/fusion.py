@@ -110,9 +110,10 @@ def fuse_scene(model, masks, boxes, depths, classes, valid, bg_labels,
         else:
             ids[k] = cl
 
+    img_h, img_w = bg_labels.shape[-2], bg_labels.shape[-1]
     use_depth = bool(model.use_depth_sorting and bg_depth is not None)
     if bg_depth is None:
-        bg_depth_arr = jnp.full((IMG_H, IMG_W), 1e9, jnp.float32)
+        bg_depth_arr = jnp.full((img_h, img_w), 1e9, jnp.float32)
     else:
         bgd = np.asarray(bg_depth, np.float32)
         bg_depth_arr = jnp.asarray(np.where(bgd > 0, bgd, 1e9))
@@ -124,8 +125,8 @@ def fuse_scene(model, masks, boxes, depths, classes, valid, bg_labels,
         jnp.asarray(valid[order]),
         jnp.asarray(bg_labels.astype(np.int32)),
         bg_depth_arr,
-        img_h=IMG_H,
-        img_w=IMG_W,
+        img_h=img_h,
+        img_w=img_w,
         threshold=threshold,
         use_depth=use_depth,
     )
