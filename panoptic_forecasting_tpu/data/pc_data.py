@@ -95,6 +95,7 @@ class PCTransformDataset:
         # stereo disparity_sequence PNGs (default), cascade-stereo PNGs
         # (flat layout, float encoding), or monodepth .npy disparities
         # scaled by monodepth_factor.
+        self.use_imgs = bool(d.get("use_imgs"))
         self.use_cascade_disps = bool(d.get("use_cascade_disps"))
         self.use_mono = bool(d.get("use_mono"))
         self.monodepth_factor = float(d.get("monodepth_factor", 5.4))
@@ -222,12 +223,35 @@ class PCTransformDataset:
         segs, depths, masks = [], [], []
         for ind in input_inds:
             fr = frame - (19 - ind)
-            seg = load_png(
-                os.path.join(
-                    self.seg_dir, city,
-                    f"pred_mask_{city}_{seq}_{fr:06d}_leftImg8bit.png",
+            if self.use_imgs:
+                # RGB reprojection mode (pc_transform_dataset.py:237-242):
+                # payload = leftImg8bit frames; the moving-object mask comes
+                # from the seg predictions instead.
+                seg = load_png(
+                    os.path.join(
+                        self.cityscapes_dir, "leftImg8bit_sequence",
+                        self.split, city,
+                        f"{city}_{seq}_{fr:06d}_leftImg8bit.png",
+                    )
                 )
-            )
+                moving_src = (
+                    load_png(
+                        os.path.join(
+                            self.seg_dir, city,
+                            f"pred_mask_{city}_{seq}_{fr:06d}_leftImg8bit.png",
+                        )
+                    )
+                    if self.no_moving_objects
+                    else None
+                )
+            else:
+                seg = load_png(
+                    os.path.join(
+                        self.seg_dir, city,
+                        f"pred_mask_{city}_{seq}_{fr:06d}_leftImg8bit.png",
+                    )
+                )
+                moving_src = seg
             if self.use_cascade_disps:
                 depth, mask = load_depth(
                     os.path.join(
@@ -259,8 +283,8 @@ class PCTransformDataset:
                     baseline,
                     float(intr.fx),
                 )
-            if self.no_moving_objects:
-                mask = mask & ~np.isin(seg, MOVING_LABEL_IDS)
+            if self.no_moving_objects and moving_src is not None:
+                mask = mask & ~np.isin(moving_src, MOVING_LABEL_IDS)
             segs.append(seg.astype(np.int32))
             depths.append(depth)
             masks.append(mask)

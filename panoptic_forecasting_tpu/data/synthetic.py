@@ -143,6 +143,15 @@ def write_cityscapes_fixture(
             Image.fromarray(seg_id).save(
                 os.path.join(se_p, f"pred_mask_{name}_leftImg8bit.png")
             )
+            # RGB frames for the use_imgs reprojection mode
+            sid = seg_id.astype(np.int32)
+            rgb = np.stack([sid * 7 % 256, sid * 13 % 256,
+                            sid * 29 % 256], axis=-1).astype(np.uint8)
+            im_p = os.path.join(root, "leftImg8bit_sequence", split, city)
+            os.makedirs(im_p, exist_ok=True)
+            Image.fromarray(rgb).save(
+                os.path.join(im_p, f"{name}_leftImg8bit.png")
+            )
         # GT for the annotated frame
         gt_p = os.path.join(root, "gtFine", split, city)
         os.makedirs(gt_p, exist_ok=True)

@@ -119,3 +119,37 @@ def test_moving_object_removal(pc_cfg):
     # car pixels (labelId 26) must be masked out
     assert not mask[seg == 26].any()
     assert mask[seg == 7].any()
+
+
+def test_use_imgs_rgb_reprojection(tmp_path):
+    """RGB payload mode (pc_transform_dataset.py:237-242 + is_img model):
+    reproject leftImg8bit frames instead of label maps."""
+    from panoptic_forecasting_tpu.core import build_dataset, build_model
+    from panoptic_forecasting_tpu.data.synthetic import (
+        write_cityscapes_fixture,
+    )
+
+    root = str(tmp_path / "cs")
+    write_cityscapes_fixture(root, split="val", n_snippets=1,
+                             height=64, width=128)
+    cfg = {
+        "task": "pc_transform",
+        "seed": 0,
+        "data": {"dataset_type": "pc_transform", "data_splits": ["val"],
+                 "data_dir": root, "cityscapes_dir": root,
+                 "seg_dir": root + "/seg", "gap_len": 9,
+                 "use_imgs": True, "no_moving_objects": True},
+        "model": {"is_img": True},
+        "training": {"batch_size": 1},
+    }
+    data = build_dataset(cfg, test=True)
+    model = build_model(cfg, data.card)
+    sample = data.datasets["val"][0]
+    assert sample["inputs"]["seg"].shape == (3, 64, 128, 3)  # RGB payload
+    from panoptic_forecasting_tpu.data.loader import default_collate
+
+    batch = default_collate([sample])
+    preds = model.predict(None, {"inputs": batch["inputs"]})
+    seg = np.asarray(preds["seg"])
+    assert seg.shape == (1, 64, 128, 3)
+    assert seg.max() > 0  # some RGB content landed
