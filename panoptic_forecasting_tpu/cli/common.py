@@ -33,8 +33,29 @@ def setup(argv=None, test: bool = False) -> Tuple[Config, Any, Any]:
     maybe_force_platform(cfg)
     seed_everything(int(cfg.get("seed", 0)))
     task_data = build_dataset(cfg, test=test)
+    if cfg.get("load_torch_model"):
+        # Reference *.pt checkpoints carry the normalization stats as frozen
+        # parameters — inject them into the card BEFORE the model reads it.
+        _, stats = _load_torch_checkpoint(cfg)
+        for name, (mean, std) in stats.items():
+            task_data.card.set_stats(name, mean, std)
     model = build_model(cfg, task_data.card)
     return cfg, task_data, model
+
+
+def _load_torch_checkpoint(cfg):
+    from ..models.reference_import import load_reference_checkpoint
+
+    kw = {}
+    if cfg["task"] == "fg":
+        m = cfg.get("model", {})
+        kw = {
+            "instance_feat_channels": int(m.get("instance_feat_channels", 8)),
+            "feat_hw": int(m.get("mask_feat_hw", 14)),
+        }
+    return load_reference_checkpoint(
+        cfg["task"], cfg["load_torch_model"], **kw
+    )
 
 
 def restore_params(cfg, model, task_data, example_batch=None):
@@ -50,6 +71,14 @@ def restore_params(cfg, model, task_data, example_batch=None):
         example_batch = task_data.loader(split, cfg, test=True)
         example_batch = next(iter(example_batch))
     params = model.init(jax.random.PRNGKey(int(cfg.get("seed", 0))), example_batch)
+    if cfg.get("load_torch_model"):
+        import jax.numpy as jnp
+
+        loaded, _ = _load_torch_checkpoint(cfg)
+        loaded = jax.tree_util.tree_map(jnp.asarray, loaded)
+        if "params" not in loaded:  # odom/fg importers return bare params
+            loaded = {"params": loaded}
+        return {**params, **loaded}
     if cfg.get("load_model"):
         return ckpt.load_model(cfg["load_model"], like=params)
     wd = cfg["working_dir"]

@@ -24,6 +24,7 @@ from .common import restore_params, setup
 
 def export_split(model, params, task_data, split, cfg) -> str:
     export_name = cfg.get("export_name") or "odometry"
+    os.makedirs(cfg["working_dir"], exist_ok=True)
     out_file = os.path.join(cfg["working_dir"], f"{export_name}_{split}.h5")
     loader = task_data.loader(split, cfg, test=True)
     predict = jax.jit(model.predict)

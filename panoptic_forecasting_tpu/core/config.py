@@ -137,6 +137,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--config_file", default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--load_model", default=None)
+    p.add_argument(
+        "--load_torch_model", default=None,
+        help="reference *.pt checkpoint to convert and load "
+             "(models/reference_import.py)",
+    )
     p.add_argument("--continue_training", action="store_true")
     p.add_argument("--load_best_model", action="store_true")
     p.add_argument("--platform", default=None, help="jax platform override (cpu/tpu)")
@@ -173,6 +178,8 @@ def load_config(argv: Optional[Sequence[str]] = None) -> Config:
     cfg.setdefault("seed", 0)
     if args.load_model:
         cfg["load_model"] = args.load_model
+    if args.load_torch_model:
+        cfg["load_torch_model"] = args.load_torch_model
     cfg["continue_training"] = bool(args.continue_training)
     cfg["load_best_model"] = bool(args.load_best_model)
     if args.platform:
