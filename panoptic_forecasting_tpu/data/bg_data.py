@@ -130,6 +130,10 @@ class BGDataset:
             self.transforms.insert(0, Resize(self.resize_wh))
         self._epoch_seed = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Per-epoch augmentation reseed (called by Loader.set_epoch)."""
+        self._epoch_seed = int(epoch)
+
     def _load_depth_block(self, city, seq, frame, start_fr) -> np.ndarray:
         """(H, W, T) decoded clamped depths (−1 invalid)."""
         key = f"{city}/{seq}/{frame:06d}/{start_fr}"

@@ -40,24 +40,19 @@ import numpy as np
 from .cards import DataCard
 from .io import LazyH5
 from ..geometry.boxes import bbox_ulbr_to_cwh
+from ..geometry.egomotion import unicycle_pose_delta_np
 
 IMG_SIZE = (2048, 1024)
 INVALID_DEPTHS = (-1.0, 1000000.0)
-
-
-def _unicycle_delta(speed, yaw_rate, dt):
-    if abs(yaw_rate) < 0.000175:
-        return dt * speed, 0.0, 0.0
-    r = speed / yaw_rate
-    wt = yaw_rate * dt
-    return r * np.sin(wt), r * (1 - np.cos(wt)), wt
 
 
 def expand_predicted_odom(odom_preds: np.ndarray, avg_dt: float) -> np.ndarray:
     """(K, 2) predicted (speed, yaw) -> (K, 5) with unicycle (dx, dy, dθ)."""
     out = np.zeros((len(odom_preds), 5), np.float32)
     for i, (speed, yaw) in enumerate(odom_preds):
-        dx, dy, dth = _unicycle_delta(float(speed), float(yaw), float(avg_dt))
+        dx, dy, dth = unicycle_pose_delta_np(
+            float(speed), float(yaw), float(avg_dt)
+        )
         out[i] = [speed, yaw, dx, dy, dth]
     return out
 
@@ -503,11 +498,34 @@ class FGSceneDataset:
                 False, card, odometry=odom,
             )
 
-        # Window per scene: val/export protocol (fg_scene_dataset.py:206-211).
+        # Windows per scene (fg_scene_dataset.py:185-211): val/export takes
+        # the single eval window; train (or expand_test) enumerates start
+        # offsets, keeping windows where any instance has a feature at the
+        # required input frames (last input when require_most_recent).
         self.index: List[Tuple[int, np.ndarray]] = []
+        in_l, out_l = self.input_len, self.output_len
+        base_inds = np.arange(0, 3 * (in_l + out_l), 3)
+        expand_train = bool(d.get("expand_train"))
+        expand_test = bool(d.get("expand_test"))
+        train_windows = split == "train" or (test and expand_test)
+        if (split == "train" and expand_train) or (test and expand_test):
+            start_inds = list(range(30 - 3 * (in_l + out_l - 1)))
+        elif split == "train":
+            start_inds = [4, 7, 10]
+        else:
+            start_inds = [19 - 3 * (in_l + out_l - 1)]
         inds = np.array([4, 7, 10, 13, 16, 19])
         for idx in range(len(self.data)):
-            if self.output_ind == 0:
+            if train_windows:
+                feat_mask = np.asarray(self.data.iloc[idx]["feat_mask"])
+                for start in start_inds:
+                    cur = start + base_inds
+                    fm = feat_mask[:, cur][:, :in_l]
+                    if self.require_most_recent:
+                        fm = fm[:, -1]
+                    if np.any(fm):
+                        self.index.append((idx, cur))
+            elif self.output_ind == 0:
                 self.index.append((idx, inds + 6))
             else:
                 self.index.append((idx, inds))
@@ -584,14 +602,14 @@ class FGSceneDataset:
         if self.feats_h5 is not None and n > 0:
             dset = self.feats_h5[f"{city}/{seq}/{frame}"]
             feats = np.zeros((n, len(fr_inds)) + dset.shape[1:], np.float32)
-        else:
-            feats = np.zeros((n, len(fr_inds), 256, 14, 14), np.float32)
             for k in range(n):
                 valid = feat_inds[k] != -1
                 if valid.any():
                     feats[k][valid] = np.asarray(
                         dset[list(feat_inds[k][valid])], np.float32
                     )
+        else:
+            feats = np.zeros((n, len(fr_inds), 256, 14, 14), np.float32)
 
         odometry = None
         if self.use_3d_info:

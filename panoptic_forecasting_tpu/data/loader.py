@@ -65,8 +65,13 @@ class Loader:
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
-        """Reseed shuffling per epoch (reference train.py:172-173,300-305)."""
+        """Reseed shuffling per epoch (reference train.py:172-173,300-305).
+
+        Also forwarded to the dataset so per-sample augmentation RNG
+        re-randomizes each epoch (e.g. BGDataset crops/flips)."""
         self._epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self) -> int:
         if self.steps_per_epoch is not None:

@@ -34,21 +34,7 @@ MOVING_LABEL_IDS = np.array(
 )
 
 
-def _np_unicycle(speed: float, yaw_rate: float, dt: float) -> np.ndarray:
-    """now_T_prev, numpy scalar version (geometry/egomotion.py is the jnp
-    twin; both match data_utils.get_vehicle_now_T_prev:117-165)."""
-    if abs(yaw_rate) < 0.000175:
-        x, y, th = dt * speed, 0.0, 0.0
-    else:
-        r = speed / yaw_rate
-        wt = yaw_rate * dt
-        x, y, th = r * np.sin(wt), r * (1 - np.cos(wt)), wt
-    c, s = np.cos(th), np.sin(th)
-    T = np.eye(4)
-    T[:2, :2] = [[c, s], [-s, c]]
-    T[0, 3] = -(c * x + s * y)
-    T[1, 3] = -(-s * x + c * y)
-    return T
+from ..geometry.egomotion import unicycle_now_T_prev_np as _np_unicycle
 
 
 def compose_cumulative(ego_transforms: np.ndarray, target: int) -> np.ndarray:

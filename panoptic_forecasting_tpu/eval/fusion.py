@@ -64,9 +64,15 @@ def run_scene_forward(model, variables, batch) -> Dict[str, np.ndarray]:
     return out
 
 
-def _pred_boxes_depths(model, preds, output_inds):
-    """Select per-instance bbox (ULBR) + depth at the requested output index."""
-    traj = preds["unnormalized_trajectory"]  # (S, N, out_t+1, D)
+def _pred_boxes_depths(model, preds, output_inds, out_t):
+    """Select per-instance bbox (ULBR) + depth at the requested output index.
+
+    The trajectory rollout includes the re-anchored last-input state at
+    position 0; the reference slices ``traj_preds[:, -out_t:]`` before
+    indexing with output_inds (fg_model.py:439-443, 542-546) so index 0 is
+    the FIRST FORECAST step — same convention as the mask-feature path.
+    """
+    traj = preds["unnormalized_trajectory"][:, :, -out_t:]  # (S, N, out_t, D)
     s, n = traj.shape[:2]
     idx = np.asarray(output_inds).reshape(s, n)
     sel = np.take_along_axis(
@@ -137,8 +143,9 @@ def predict_panoptic(model, variables, batch) -> Dict[str, Any]:
     """Batched panoptic fusion. Returns seg (S, H, W) int64 panoptic maps in
     trainId·1000+inst space, plus per-scene instance ids/boxes/depths."""
     preds = run_scene_forward(model, variables, batch)
+    out_t = int(np.asarray(batch["labels"]["trajectories"]).shape[2])
     boxes, depths = _pred_boxes_depths(
-        model, preds, batch["labels"]["output_inds"]
+        model, preds, batch["labels"]["output_inds"], out_t
     )
     masks = _sigmoid(preds["masks"])  # (S, N, 28, 28)
     valid = np.asarray(batch["inputs"]["valid"], bool)
@@ -171,8 +178,9 @@ def predict_semantics(model, variables, batch) -> Dict[str, Any]:
     """Semantic fusion: instance pixels take trainId class+11
     (fg_model.py:454-480); background canvas is used as-is."""
     preds = run_scene_forward(model, variables, batch)
+    out_t = int(np.asarray(batch["labels"]["trajectories"]).shape[2])
     boxes, depths = _pred_boxes_depths(
-        model, preds, batch["labels"]["output_inds"]
+        model, preds, batch["labels"]["output_inds"], out_t
     )
     masks = _sigmoid(preds["masks"])
     valid = np.asarray(batch["inputs"]["valid"], bool)
@@ -199,16 +207,17 @@ def predict_instances(model, variables, batch) -> Dict[str, Any]:
     Returns per-scene lists of dicts with binary masks, pasted probability,
     class, box, depth, score (mean in-mask probability)."""
     preds = run_scene_forward(model, variables, batch)
+    out_t = int(np.asarray(batch["labels"]["trajectories"]).shape[2])
     boxes, depths = _pred_boxes_depths(
-        model, preds, batch["labels"]["output_inds"]
+        model, preds, batch["labels"]["output_inds"], out_t
     )
     masks = _sigmoid(preds["masks"])
     valid = np.asarray(batch["inputs"]["valid"], bool)
     classes = np.asarray(batch["inputs"]["classes"])
     s, n = masks.shape[:2]
-    paste = jax.jit(
-        lambda m, b: paste_mask_bilinear(m, b, img_h=IMG_H, img_w=IMG_W)
-    )
+    # paste_mask_bilinear is already jitted with static img_h/img_w; calling
+    # it directly reuses the global compile cache across batches.
+    paste = lambda m, b: paste_mask_bilinear(m, b, img_h=IMG_H, img_w=IMG_W)
     scenes: List[List[Dict[str, Any]]] = []
     for b in range(s):
         insts = []

@@ -80,3 +80,37 @@ def compose_transforms(transforms: jnp.ndarray) -> jnp.ndarray:
         return jnp.matmul(b, a, precision=jax.lax.Precision.HIGHEST)
 
     return jax.lax.associative_scan(combine, transforms)
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy) twins for dataset code — single source of truth for the
+# unicycle constants (straight-line threshold 1e-2 deg/s = 0.000175 rad/s,
+# data_utils.py:123).
+# ---------------------------------------------------------------------------
+
+STRAIGHT_YAW_EPS = 0.000175
+
+
+def unicycle_pose_delta_np(speed: float, yaw_rate: float, dt: float):
+    """(dx, dy, dθ) of the vehicle over dt — numpy scalar twin of
+    unicycle_pose_delta."""
+    import numpy as _np
+
+    if abs(yaw_rate) < STRAIGHT_YAW_EPS:
+        return dt * speed, 0.0, 0.0
+    r = speed / yaw_rate
+    wt = yaw_rate * dt
+    return r * _np.sin(wt), r * (1 - _np.cos(wt)), wt
+
+
+def unicycle_now_T_prev_np(speed: float, yaw_rate: float, dt: float):
+    """4x4 now_T_prev — numpy scalar twin of unicycle_now_T_prev."""
+    import numpy as _np
+
+    x, y, th = unicycle_pose_delta_np(speed, yaw_rate, dt)
+    c, s = _np.cos(th), _np.sin(th)
+    T = _np.eye(4)
+    T[:2, :2] = [[c, s], [-s, c]]
+    T[0, 3] = -(c * x + s * y)
+    T[1, 3] = -(-s * x + c * y)
+    return T

@@ -4,12 +4,12 @@ Reference capability: ``torch_scatter.scatter_min`` z-buffering in
 ``pc_transform_model.py:100-139`` (a CUDA extension). TPU re-design:
 
 XLA:TPU has no fast general scatter with colliding indices (it serializes),
-so the primary path is **sort-based**: lexicographically sort the point
-stream by (target pixel, depth bits, point index) with ``jax.lax.sort``
-(num_keys=3 — TPU sorts are fast, fully parallel bitonic networks on the
-VPU), mark run starts, and write the unique winners with a collision-free
-scatter (``unique_indices=True``, ``mode='drop'`` for losers). Ties on depth
-resolve to the smallest point index — deterministic, unlike CUDA atomics.
+so the primary path is **sort-based**: sort the point stream by (target
+pixel, depth bits) with ``jax.lax.sort`` (stable, fully parallel bitonic
+network), mark run starts, and write the unique winners with a
+collision-free scatter (``unique_indices=True``, ``mode='drop'`` for
+losers). lax.sort is stable, so ties on depth resolve to the smallest
+point index — deterministic, unlike CUDA atomics.
 
 A direct ``.at[].min`` scatter path is kept for comparison/debugging
 (``method='scatter'``); it is correct everywhere but serializes on TPU.
@@ -61,9 +61,7 @@ def splat_four_neighbors(uv: jnp.ndarray, height: int, width: int):
 def _zbuffer_sort(pix: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
                   num_pixels: int):
     """Sort-based argmin-per-pixel. All inputs 1-D of equal length."""
-    n = pix.shape[0]
     depth_key = _depth_sort_bits(depth)
-    idx = jnp.arange(n, dtype=jnp.int32)
     pix_s, _, label_s, depth_s = jax.lax.sort(
         (pix, depth_key, label, depth), num_keys=2
     )

@@ -6,7 +6,8 @@ WORKING_DIR=${1:-runs/fg}
 TERM_CFG=${2:-configs/fg/fg_val_mid.yaml}   # or fg_val_short.yaml
 CITYSCAPES_DIR=${CITYSCAPES_DIR:-data/cityscapes}
 python -m panoptic_forecasting_tpu.cli.export_panoptic \
-    --working_dir "$WORKING_DIR" --config_file "$TERM_CFG" "${@:3}"
+    --working_dir "$WORKING_DIR" --config_file "$TERM_CFG" \
+    --load_best_model "${@:3}"
 python -m panoptic_forecasting_tpu.cli.evaluate_panoptic \
     --pred_json "$WORKING_DIR/exported_panoptics_val/exported_panoptics_val.json" \
     --pred_dir "$WORKING_DIR/exported_panoptics_val/exported_panoptics_val" \

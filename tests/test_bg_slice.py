@@ -160,3 +160,17 @@ def test_bg_train_step_and_predict(bg_cfg):
     assert preds["seg"].shape == (1, 64, 128)
     assert preds["logits"].shape == (1, 64, 128, 11)
     assert preds["orig_size_logits"].shape[1:3] == (16, 32)  # 1/4 resolution
+
+
+def test_bg_augmentation_reseeds_per_epoch(bg_cfg):
+    """Regression: Loader.set_epoch must reach the dataset RNG."""
+    from panoptic_forecasting_tpu.data.loader import Loader
+
+    data = build_dataset(bg_cfg)
+    ds = data.datasets["train"]
+    loader = Loader(ds, batch_size=1, shuffle=False)
+    loader.set_epoch(1)
+    a = ds[0]["inputs"]["seg"]
+    loader.set_epoch(2)
+    b = ds[0]["inputs"]["seg"]
+    assert not np.array_equal(a, b), "augmentation identical across epochs"

@@ -276,3 +276,57 @@ def test_condensed_feats_variant(tmp_path):
         np.testing.assert_array_equal(
             sa["inputs"]["feats"], sb["inputs"]["feats"]
         )
+
+
+def test_scene_dataset_loads_real_feats(fg_scene_cfg):
+    """Regression: scene feats must come from the h5, not stay zero."""
+    data = build_dataset(fg_scene_cfg, test=True)
+    s = data.datasets["val"][0]
+    n = int(s["meta"]["num_instances"])
+    feats = np.asarray(s["inputs"]["feats"])[:n]
+    assert np.abs(feats).sum() > 0
+
+
+def test_pred_boxes_depths_slices_like_reference():
+    """Regression: output_inds index into traj[:, -out_t:], not the raw
+    (out_t+1)-step rollout (fg_model.py:439-443)."""
+    from panoptic_forecasting_tpu.eval.fusion import _pred_boxes_depths
+
+    class M:
+        use_bbox_ulbr = True
+        only_loc_feats = False
+        use_depth_inp = True
+
+    out_t = 3
+    # (S=1, N=1, out_t+1=4, 9): step k has value k in every channel
+    traj = np.tile(
+        np.arange(4, dtype=np.float32)[None, None, :, None], (1, 1, 1, 9)
+    )
+    preds = {"unnormalized_trajectory": traj}
+    boxes, depths = _pred_boxes_depths(M(), preds, np.array([[0]]), out_t)
+    # index 0 must select the FIRST FORECAST step (value 1), not the
+    # re-anchored input state (value 0)
+    assert boxes[0, 0, 0] == 1.0
+    boxes, depths = _pred_boxes_depths(M(), preds, np.array([[2]]), out_t)
+    assert depths[0, 0] == 3.0
+
+
+def test_scene_dataset_train_windows(fg_root):
+    """Train split enumerates start windows with coverage filtering
+    (fg_scene_dataset.py:185-206)."""
+    cfg = {
+        "task": "fg", "seed": 0, "working_dir": fg_root + "/tw",
+        "data": {"dataset_type": "fg_scene", "data_splits": ["train"],
+                 "data_dir": fg_root, "depth_dir": fg_root,
+                 "feats_dir": fg_root, "info_3d_dir": fg_root,
+                 "use_3d_info": True, "max_depth": 200,
+                 "require_most_recent": True},
+        "model": {"mask_head": {}},
+        "training": {"batch_size": 1},
+    }
+    data = build_dataset(cfg)
+    ds = data.datasets["train"]
+    # 3 scenes x up to 3 start inds {4,7,10}; coverage filter keeps >= 1 each
+    assert len(ds) > 3
+    s = ds[0]
+    assert s["inputs"]["trajectories"].shape[1] == 3  # input_len
