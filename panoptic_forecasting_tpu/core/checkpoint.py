@@ -54,10 +54,18 @@ def load_pytree(path: str, like: Optional[Any] = None) -> Any:
                 f"checkpoint at {path} has {len(flat_new)} leaves, "
                 f"expected {len(flat_like)}"
             )
-        flat_cast = [
-            np.asarray(n).astype(l.dtype) if hasattr(l, "dtype") else n
-            for n, l in zip(flat_new, flat_like)
-        ]
+        flat_cast = []
+        for i, (n, l) in enumerate(zip(flat_new, flat_like)):
+            if hasattr(l, "shape") and np.shape(n) != tuple(l.shape):
+                raise ValueError(
+                    f"checkpoint at {path}: leaf {i} has shape "
+                    f"{np.shape(n)}, expected {tuple(l.shape)} — the model "
+                    "config does not match the one this checkpoint was "
+                    "trained with"
+                )
+            flat_cast.append(
+                np.asarray(n).astype(l.dtype) if hasattr(l, "dtype") else n
+            )
         return jax.tree_util.tree_unflatten(treedef, flat_cast)
     return restored
 
