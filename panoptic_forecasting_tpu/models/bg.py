@@ -56,7 +56,11 @@ class BGModel(TaskModel):
                 "using fresh init"
             )
             self.pretrain_path = None
-        self.module = HarDNet(n_classes=self.num_classes)
+        dt = m.get("compute_dtype")
+        self.compute_dtype = jnp.bfloat16 if dt in ("bfloat16", "bf16") else jnp.float32
+        self.module = HarDNet(
+            n_classes=self.num_classes, dtype=self.compute_dtype
+        )
 
     # -- input assembly ----------------------------------------------------
     def _inp2onehot(self, seg: jax.Array) -> jax.Array:

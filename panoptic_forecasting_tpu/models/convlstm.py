@@ -15,7 +15,7 @@ Python loops over T (convlstm.py:166-179).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -27,6 +27,7 @@ class ConvLSTMCell(nn.Module):
 
     hidden: int
     kernel: Tuple[int, int] = (3, 3)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, state, x):
@@ -37,8 +38,9 @@ class ConvLSTMCell(nn.Module):
             self.kernel,
             padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
             use_bias=True,
+            dtype=self.dtype,
             name="conv",
-        )(jnp.concatenate([x, h], axis=-1))
+        )(jnp.concatenate([x, h], axis=-1).astype(self.dtype))
         i, f, o, g = jnp.split(z, 4, axis=-1)
         i = jax.nn.sigmoid(i)
         f = jax.nn.sigmoid(f)
@@ -61,6 +63,7 @@ class ConvLSTMStack(nn.Module):
     hidden: int
     num_layers: int
     kernel: Tuple[int, int] = (3, 3)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, states, x):
@@ -68,7 +71,8 @@ class ConvLSTMStack(nn.Module):
         out = x
         for l in range(self.num_layers):
             state, out = ConvLSTMCell(
-                self.hidden, self.kernel, name=f"cell_{l}"
+                self.hidden, self.kernel, dtype=self.dtype,
+                name=f"cell_{l}"
             )(states[l], out)
             new_states.append(state)
         return tuple(new_states), out

@@ -96,6 +96,9 @@ class FGCore(nn.Module):
     mask_feat_channels: int = 256
     mask_feat_hw: int = 14
     mask_head_conv_dim: int = 256
+    # compute dtype for the ConvLSTM branch (the FLOP-heavy part); the
+    # trajectory GRUs and heads stay float32 (tiny, precision-sensitive).
+    dtype: Any = jnp.float32
 
     def setup(self):
         if self.rnn_type == "gru":
@@ -118,8 +121,12 @@ class FGCore(nn.Module):
         )
         self.instance_feat_model = nn.Dense(self.instance_feat_hidden)
         c = self.mask_feat_channels
-        self.mask_encoder = ConvLSTMStack(c, self.num_convlstm_layers)
-        self.mask_decoder = ConvLSTMStack(c, self.num_convlstm_layers)
+        self.mask_encoder = ConvLSTMStack(
+            c, self.num_convlstm_layers, dtype=self.dtype
+        )
+        self.mask_decoder = ConvLSTMStack(
+            c, self.num_convlstm_layers, dtype=self.dtype
+        )
         self.mask_encoder_out = nn.Conv(c, (1, 1), use_bias=True)
         self.mask_decoder_out = nn.Conv(c, (1, 1), use_bias=True)
         self.mask_head = MaskRCNNConvUpsampleHead(
@@ -298,6 +305,11 @@ class FGModel(TaskModel):
             mask_feat_hw=int(m.get("mask_feat_hw", 14)),
             mask_head_conv_dim=int(
                 mh.get("conv_dim", m.get("mask_feat_channels", 256))
+            ),
+            dtype=(
+                jnp.bfloat16
+                if m.get("compute_dtype") in ("bfloat16", "bf16")
+                else jnp.float32
             ),
         )
         self.mask_feat_channels = self.module.mask_feat_channels

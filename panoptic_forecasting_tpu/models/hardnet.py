@@ -24,7 +24,7 @@ intentionally dropped (never called in-repo; XLA fuses conv+BN anyway).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -90,11 +90,15 @@ def resize_bilinear_align_corners(x: jnp.ndarray, size: Tuple[int, int]):
 
 
 class ConvLayer(nn.Module):
-    """conv(no bias, torch-style k//2 padding) → BN → ReLU (hardnet.py:16-25)."""
+    """conv(no bias, torch-style k//2 padding) → BN → ReLU (hardnet.py:16-25).
+
+    ``dtype`` is the compute dtype (bf16 keeps convs on the MXU fast path
+    and halves HBM traffic); params stay float32."""
 
     out_channels: int
     kernel: int = 3
     stride: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -105,12 +109,14 @@ class ConvLayer(nn.Module):
             strides=(self.stride, self.stride),
             padding=((p, p), (p, p)),
             use_bias=False,
+            dtype=self.dtype,
             name="conv",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
+            dtype=self.dtype,
             name="norm",
         )(x)
         return nn.relu(x)
@@ -122,6 +128,7 @@ class HarDBlock(nn.Module):
     grmul: float
     n_layers: int
     keep_base: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -133,7 +140,9 @@ class HarDBlock(nn.Module):
             tin = [outs[l] for l in link]
             inp = jnp.concatenate(tin, axis=-1) if len(tin) > 1 else tin[0]
             outs.append(
-                ConvLayer(out_ch, name=f"layer_{i}")(inp, train=train)
+                ConvLayer(out_ch, dtype=self.dtype, name=f"layer_{i}")(
+                    inp, train=train
+                )
             )
         t = len(outs)
         keep = [
@@ -153,6 +162,7 @@ class HarDNet(nn.Module):
     ``final_size``) resolution, optionally with the pre-resize logits."""
 
     n_classes: int = 19
+    dtype: Any = jnp.float32
     first_ch: Sequence[int] = (16, 24, 32, 48)
     ch_list: Sequence[int] = (64, 96, 160, 224, 320)
     grmul: float = 1.7
@@ -168,10 +178,15 @@ class HarDNet(nn.Module):
 
         # Stem (hardnet.py:274-280); base indices mirror the torch ModuleList
         # so the weight importer maps by position.
-        x = ConvLayer(self.first_ch[0], kernel=3, stride=2, name="base_0")(x, train)
-        x = ConvLayer(self.first_ch[1], kernel=3, name="base_1")(x, train)
-        x = ConvLayer(self.first_ch[2], kernel=3, stride=2, name="base_2")(x, train)
-        x = ConvLayer(self.first_ch[3], kernel=3, name="base_3")(x, train)
+        x = x.astype(self.dtype)
+        x = ConvLayer(self.first_ch[0], kernel=3, stride=2, dtype=self.dtype,
+                      name="base_0")(x, train)
+        x = ConvLayer(self.first_ch[1], kernel=3, dtype=self.dtype,
+                      name="base_1")(x, train)
+        x = ConvLayer(self.first_ch[2], kernel=3, stride=2, dtype=self.dtype,
+                      name="base_2")(x, train)
+        x = ConvLayer(self.first_ch[3], kernel=3, dtype=self.dtype,
+                      name="base_3")(x, train)
 
         skips: List[jnp.ndarray] = []
         skip_chs: List[int] = []
@@ -180,14 +195,15 @@ class HarDNet(nn.Module):
         for i in range(blks):
             x = HarDBlock(
                 ch, self.gr[i], self.grmul, self.n_layers[i],
-                name=f"base_{base_idx}",
+                dtype=self.dtype, name=f"base_{base_idx}",
             )(x, train)
             ch = HarDBlock.out_ch(ch, self.gr[i], self.grmul, self.n_layers[i])
             base_idx += 1
             if i < blks - 1:
                 skips.append(x)
                 skip_chs.append(ch)
-            x = ConvLayer(self.ch_list[i], kernel=1, name=f"base_{base_idx}")(x, train)
+            x = ConvLayer(self.ch_list[i], kernel=1, dtype=self.dtype,
+                          name=f"base_{base_idx}")(x, train)
             ch = self.ch_list[i]
             base_idx += 1
             if i < blks - 1:
@@ -201,17 +217,19 @@ class HarDNet(nn.Module):
             x = resize_bilinear_align_corners(x, (skip.shape[-3], skip.shape[-2]))
             x = jnp.concatenate([x, skip], axis=-1)
             cur = prev_ch + skip_chs[i]
-            x = ConvLayer(cur // 2, kernel=1, name=f"conv1x1_up_{j}")(x, train)
+            x = ConvLayer(cur // 2, kernel=1, dtype=self.dtype,
+                          name=f"conv1x1_up_{j}")(x, train)
             x = HarDBlock(
                 cur // 2, self.gr[i], self.grmul, self.n_layers[i],
-                name=f"denseBlocksUp_{j}",
+                dtype=self.dtype, name=f"denseBlocksUp_{j}",
             )(x, train)
             prev_ch = HarDBlock.out_ch(
                 cur // 2, self.gr[i], self.grmul, self.n_layers[i]
             )
 
         logits = nn.Conv(
-            self.n_classes, (1, 1), use_bias=True, name="finalConv"
+            self.n_classes, (1, 1), use_bias=True, dtype=self.dtype,
+            name="finalConv"
         )(x)
         out = resize_bilinear_align_corners(
             logits.astype(jnp.float32), final_size or size_in

@@ -174,3 +174,23 @@ def test_bg_augmentation_reseeds_per_epoch(bg_cfg):
     loader.set_epoch(2)
     b = ds[0]["inputs"]["seg"]
     assert not np.array_equal(a, b), "augmentation identical across epochs"
+
+
+def test_bg_bf16_compute_dtype(bg_cfg):
+    """model.compute_dtype=bfloat16: params stay f32, loss finite."""
+    import copy
+
+    import jax
+
+    cfg = copy.deepcopy(bg_cfg)
+    cfg["model"]["compute_dtype"] = "bfloat16"
+    data = build_dataset(cfg)
+    model = build_model(cfg, data.card)
+    batch = default_collate([data.datasets["train"][0]])
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    assert jax.tree_util.tree_leaves(variables["params"])[0].dtype == jnp.float32
+    from panoptic_forecasting_tpu.models.base import split_variables
+
+    params, state = split_variables(variables)
+    loss, metrics, _ = model.loss(params, state, batch, train=False)
+    assert np.isfinite(float(loss))
