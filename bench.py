@@ -126,9 +126,11 @@ def main() -> None:
     ).astype(np.int64)
     d4 = np.tile(depths_np, 4)
     l4 = np.tile(seg.reshape(-1), 4)
-    t0 = time.perf_counter()
-    _numpy_splat(pix, d4, l4, H * W)
-    np_dt = time.perf_counter() - t0
+    np_dt = 1e9
+    for _ in range(3):  # best-of-3: conservative ratio on a noisy 1-core host
+        t0 = time.perf_counter()
+        _numpy_splat(pix, d4, l4, H * W)
+        np_dt = min(np_dt, time.perf_counter() - t0)
     np_fps = 1.0 / np_dt
 
     print(
