@@ -408,6 +408,46 @@ class FGInstanceDataset:
         return out
 
 
+def fg_scene_collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Collate FGSceneDataset samples whose instance buckets differ.
+
+    Each scene pads its instance axis independently to a multiple of
+    ``pad_multiple`` (see ``FGSceneDataset.__getitem__``), so two scenes in
+    one batch may land in different buckets (e.g. 8 vs 16 instances). The
+    reference side-steps this with a list collate
+    (fg_scene_dataset.py:514-528) and a concat inside ``predict``; with
+    static JAX shapes we instead re-pad every scene to the **batch max**
+    bucket here, so ``np.stack`` succeeds and the whole batch shares one
+    compiled shape.
+    """
+    from .loader import default_collate
+
+    pad_n = max(s["inputs"]["valid"].shape[0] for s in samples)
+
+    def repad(x, fill=0):
+        if not isinstance(x, np.ndarray) or x.shape[0] == pad_n:
+            return x
+        padding = np.full((pad_n - x.shape[0],) + x.shape[1:], fill, x.dtype)
+        return np.concatenate([x, padding])
+
+    padded = []
+    for s in samples:
+        ns = dict(s)
+        # 'background' is the (H, W) canvas, not an instance-axis array.
+        ns["inputs"] = {
+            k: (v if k == "background" else repad(v))
+            for k, v in s["inputs"].items()
+        }
+        # output_inds is constant per scene; extend with its own value so
+        # padded rows still select a valid decode step.
+        ns["labels"] = {
+            k: repad(v, fill=v.flat[-1] if k == "output_inds" else 0)
+            for k, v in s["labels"].items()
+        }
+        padded.append(ns)
+    return default_collate(padded)
+
+
 class FGSceneDataset:
     """One sample = all instances of a scene, padded to ``pad_multiple``."""
 

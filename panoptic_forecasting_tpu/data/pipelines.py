@@ -82,12 +82,15 @@ def build_bg_data(cfg, test: bool = False) -> TaskData:
 
 @register_dataset("fg")
 def build_fg_data(cfg, test: bool = False) -> TaskData:
-    from .fg_data import FGInstanceDataset, FGSceneDataset
+    from .fg_data import FGInstanceDataset, FGSceneDataset, fg_scene_collate
 
     card = DataCard(task="fg")
     d = cfg.get("data", {})
     dataset_type = d.get("dataset_type", "fg_instance")
     splits = d.get("data_splits", ["train", "val"])
-    cls = FGSceneDataset if dataset_type == "fg_scene" else FGInstanceDataset
+    if dataset_type == "fg_scene":
+        cls, collate = FGSceneDataset, fg_scene_collate
+    else:
+        cls, collate = FGInstanceDataset, default_collate
     datasets = {s: cls(s, cfg, card, test=test) for s in splits}
-    return TaskData(datasets=datasets, card=card)
+    return TaskData(datasets=datasets, card=card, collate_fn=collate)

@@ -47,3 +47,52 @@ def test_shuffle_changes_with_epoch():
     b = next(iter(loader))["inputs"]["x"].reshape(-1)
     assert not np.array_equal(a, b)
     assert sorted(a.tolist()) == sorted(b.tolist())
+
+
+def test_fg_scene_collate_mixed_buckets(tmp_path):
+    """Regression: batching scenes whose instance buckets differ must not
+    crash (reference handles this with a list collate,
+    fg_scene_dataset.py:514-528; we re-pad to the batch max bucket)."""
+    from panoptic_forecasting_tpu.core import build_dataset
+    from panoptic_forecasting_tpu.data.synthetic import write_fg_fixture
+
+    root = str(tmp_path)
+    write_fg_fixture(root, splits=("val",), n_scenes=4, max_instances=12,
+                     seed=3)
+    cfg = {
+        "task": "fg",
+        "data": {
+            "dataset_type": "fg_scene",
+            "data_splits": ["val"],
+            "data_dir": root,
+            "depth_dir": root,
+            "feats_dir": root,
+            "info_3d_dir": root,
+            "use_3d_info": True,
+            "max_depth": 200,
+            "instance_pad_multiple": 4,
+        },
+        "training": {"batch_size": 2},
+    }
+    data = build_dataset(cfg, test=True)
+    ds = data.datasets["val"]
+    buckets = {ds[i]["inputs"]["valid"].shape[0] for i in range(len(ds))}
+    assert len(buckets) > 1, "fixture must span instance buckets"
+
+    loader = data.loader("val", cfg, test=True)
+    total_valid = 0
+    for batch in loader:
+        v = batch["inputs"]["valid"]
+        assert v.ndim == 2  # (S, N) — stacked fine across buckets
+        n = v.shape[1]
+        for key in ("trajectories", "feats", "classes"):
+            assert batch["inputs"][key].shape[1] == n
+        for key in ("output_inds", "trajectories", "feats"):
+            assert batch["labels"][key].shape[1] == n
+        # padded output_inds rows still select a valid decode step
+        oi = batch["labels"]["output_inds"]
+        assert (oi == oi[:, :1]).all()
+        total_valid += int(v.sum())
+    assert total_valid == sum(
+        ds[i]["meta"]["num_instances"] for i in range(len(ds))
+    )

@@ -21,7 +21,10 @@ from panoptic_forecasting_tpu.eval import fusion, pq
 @pytest.fixture(scope="module")
 def scene_setup(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("pan"))
-    write_fg_fixture(root, splits=("val",), n_scenes=2, max_instances=3)
+    # max_instances > pad_multiple so the two scenes land in DIFFERENT
+    # instance buckets (8 vs 4 at seed 0) — with batch_size 2 below, the
+    # export CLIs run through fg_scene_collate's batch-max re-padding.
+    write_fg_fixture(root, splits=("val",), n_scenes=2, max_instances=10)
     cfg = {
         "task": "fg",
         "seed": 0,
@@ -44,10 +47,13 @@ def scene_setup(tmp_path_factory):
             "use_depth_sorting": True,
             "mask_head": {},
         },
-        "training": {"batch_size": 1},
+        "training": {"batch_size": 2},
     }
     os.makedirs(cfg["working_dir"], exist_ok=True)
     data = build_dataset(cfg, test=True)
+    ds = data.datasets["val"]
+    buckets = {ds[i]["inputs"]["valid"].shape[0] for i in range(len(ds))}
+    assert len(buckets) > 1, "fixture must span instance buckets"
     model = build_model(cfg, data.card)
     return cfg, data, model
 
