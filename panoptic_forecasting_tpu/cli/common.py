@@ -31,6 +31,12 @@ def setup(argv=None, test: bool = False) -> Tuple[Config, Any, Any]:
     """load config → build datasets → build model. Returns (cfg, data, model)."""
     cfg = load_config(argv)
     maybe_force_platform(cfg)
+    # Multi-host: must run before any jax backend use so jax.devices()
+    # spans all hosts (reference wires init_distributed_mode into every
+    # train run, utils/dist.py:12-32 / train.py:76).
+    from ..parallel.mesh import init_distributed
+
+    init_distributed(cfg)
     seed_everything(int(cfg.get("seed", 0)))
     task_data = build_dataset(cfg, test=test)
     if cfg.get("load_torch_model"):

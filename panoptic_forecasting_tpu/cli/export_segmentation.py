@@ -36,12 +36,23 @@ def export_split(model, params, task_data, split, cfg) -> str:
     else:
         base = os.path.join(wd, "exported_predictions", split)
     no_convert = bool(cfg.get("no_convert"))
+    convert_to_trainid = bool(cfg.get("convert_to_trainid"))
     is_img = bool(cfg.get("is_img"))
     save_depth = bool(cfg.get("save_depth"))
     save_disp_as_png = bool(cfg.get("save_disp_as_png"))
     save_depth_as_png = bool(cfg.get("save_depth_as_png"))
     disp_factor = float(cfg.get("disp_factor") or 0.0)
     lut = train_id_to_id_lut()
+    # labelId -> trainId with the reference's zeros-init edge behavior:
+    # values outside the label table -> 0, trainId -1 wraps to 255 on the
+    # uint8 PNG write (convert_labels_to_trainid,
+    # export_cityscapes_segmentation_results.py:34-38).
+    from ..data.cityscapes import ID_TO_LABEL
+
+    id_lut = np.zeros(256, np.uint8)
+    for i, lbl in ID_TO_LABEL.items():
+        if 0 <= i < 256:
+            id_lut[i] = np.uint8(lbl.train_id % 256)
     palette = train_id_color_palette()
 
     loader = task_data.loader(split, cfg, test=True)
@@ -72,6 +83,10 @@ def export_split(model, params, task_data, split, cfg) -> str:
             else:
                 if not no_convert:
                     seg = lut[np.clip(seg, 0, 255)]
+                elif convert_to_trainid:
+                    # labelId -> trainId re-encode (reference
+                    # export_cityscapes_segmentation_results.py:34-38,91-92)
+                    seg = id_lut[np.clip(seg, 0, 255)]
                 save_png(
                     os.path.join(out_dir, f"{name}_gtFine_labelIds.png"),
                     seg.astype(np.uint8),

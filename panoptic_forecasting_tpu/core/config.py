@@ -145,6 +145,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--continue_training", action="store_true")
     p.add_argument("--load_best_model", action="store_true")
     p.add_argument("--platform", default=None, help="jax platform override (cpu/tpu)")
+    # Multi-host SPMD (reference utils/dist.py:12-32 torchrun env rendezvous).
+    # On TPU pods --distributed alone auto-detects topology; the explicit
+    # coordinator/process args exist for CPU tests and manual launches.
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() before building")
+    p.add_argument("--coordinator_address", default=None)
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument(
         "--set",
         dest="overrides",
@@ -184,6 +192,11 @@ def load_config(argv: Optional[Sequence[str]] = None) -> Config:
     cfg["load_best_model"] = bool(args.load_best_model)
     if args.platform:
         cfg["platform"] = args.platform
+    if args.distributed:
+        cfg["distributed"] = True
+        for k in ("coordinator_address", "num_processes", "process_id"):
+            if getattr(args, k) is not None:
+                cfg[k] = getattr(args, k)
 
     for dotted, raw in args.overrides:
         apply_dotted_override(cfg, dotted, coerce_value(raw))

@@ -29,7 +29,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .cards import DataCard
-from .io import LazyH5, load_png
+from .io import LazyH5, load_png, load_png_batch
 from .transforms import RandomHorizontalFlip, RandomScaleCrop, Resize
 
 
@@ -149,7 +149,8 @@ class BGDataset:
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         gt_file, files, city, seq, frame, fr, start_fr = self.samples[idx]
         gt = load_png(gt_file).astype(np.int32)
-        segs = [load_png(f).astype(np.int32) for f in files]
+        # one triplet shares geometry -> native threaded batch decode
+        segs = list(load_png_batch(files).astype(np.int32))
         arrs = []
         if self.use_depths:
             arrs.append(self._load_depth_block(city, seq, frame, start_fr))

@@ -222,8 +222,15 @@ class FGInstanceDataset:
         self.data = pd.read_pickle(
             os.path.join(data_dir, f"{split}_instance_meta.pkl")
         )
+        # Depth-source variants (fg_instance_dataset.py:30-31, 58-62).
+        depth_stem = (
+            "cascadedepth" if d.get("use_cascade_depths") else "depth"
+        )
         self.depth_data = pd.read_pickle(
-            os.path.join(d.get("depth_dir", data_dir), f"{split}_depth_instance_info.pkl")
+            os.path.join(
+                d.get("depth_dir", data_dir),
+                f"{split}_{depth_stem}_instance_info.pkl",
+            )
         )
         feats_dir = d.get("feats_dir", data_dir)
         # Condensed-feats variant: alternative h5 + row-aligned feat_ind
@@ -484,8 +491,18 @@ class FGSceneDataset:
 
         data_dir = d["data_dir"]
         self.data = pd.read_pickle(os.path.join(data_dir, f"{split}_seq_meta.pkl"))
+        # Depth-source variants (fg_scene_dataset.py:28-29, 60-66).
+        if d.get("use_cascade_depths"):
+            depth_stem = "cascadedepth"
+        elif d.get("use_monodepth"):
+            depth_stem = "monodepth"
+        else:
+            depth_stem = "depth"
         self.depth_data = pd.read_pickle(
-            os.path.join(d.get("depth_dir", data_dir), f"{split}_depth_seq_info.pkl")
+            os.path.join(
+                d.get("depth_dir", data_dir),
+                f"{split}_{depth_stem}_seq_info.pkl",
+            )
         )
         feats_dir = d.get("feats_dir", data_dir)
         # Condensed-feats variant (fg_scene_dataset.py:68-72, 352).

@@ -32,6 +32,23 @@ def load_png(path: str) -> np.ndarray:
     return np.array(Image.open(path))
 
 
+def load_png_batch(paths) -> np.ndarray:
+    """Decode N same-geometry PNGs into one (N, H, W[, C]) array.
+
+    Uses the native threaded libpng decoder when built (the reference gets
+    this parallelism from forked DataLoader workers, train.py:101-109);
+    falls back to a sequential PIL loop."""
+    from .. import native
+
+    paths = list(paths)
+    if native.available() and len(paths) > 1:
+        try:
+            return native.load_png_batch(paths)
+        except Exception:
+            pass  # mixed geometry / decode error: fall through per-file
+    return np.stack([load_png(p) for p in paths])
+
+
 def save_png(path: str, arr: np.ndarray) -> None:
     from .. import native
 

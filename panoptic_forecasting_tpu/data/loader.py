@@ -11,9 +11,57 @@ loader stays framework-free. Supports shuffle, drop_last, weighted sampling
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+
+def _background_prefetch(it: Iterator, depth: int) -> Iterator:
+    """Run ``it`` in a daemon thread, buffering up to ``depth`` items.
+
+    Replaces the reference's forked DataLoader workers
+    (training/train.py:101-109): decode/collate of batch k+1..k+depth
+    overlaps the device step on batch k. Single producer thread → batch
+    order is identical to the synchronous path.
+    """
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    sentinel = object()
+    err: List[BaseException] = []
+
+    def producer():
+        try:
+            for item in it:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # surfaced to the consumer
+            err.append(e)
+        finally:
+            try:
+                q.put(sentinel, timeout=0.1)
+            except queue.Full:
+                pass
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def default_collate(samples: List[Dict[str, Any]]) -> Dict[str, Any]:
@@ -53,6 +101,8 @@ class Loader:
         steps_per_epoch: Optional[int] = None,
         weights: Optional[np.ndarray] = None,
         seed: int = 0,
+        prefetch: int = 0,
+        num_threads: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -63,6 +113,27 @@ class Loader:
         self.weights = weights
         self._rng = np.random.RandomState(seed)
         self._epoch = 0
+        # Input-pipeline parallelism (reference: num_data_workers DataLoader
+        # forks, train.py:101-109). Threads instead of forks: h5py handles
+        # stay valid, PNG/zlib decode releases the GIL in the native module.
+        self.prefetch = int(prefetch)
+        self.num_threads = int(num_threads)
+        self._pool = None
+        if self.num_threads > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.num_threads,
+                thread_name_prefix="pf-loader",
+            )
+
+    def _fetch(self, idx) -> List[Dict[str, Any]]:
+        """Fetch one batch worth of samples (thread-parallel if configured;
+        order always matches ``idx``)."""
+        ints = [int(i) for i in idx]
+        if self._pool is not None and len(ints) > 1:
+            return list(self._pool.map(self.dataset.__getitem__, ints))
+        return [self.dataset[i] for i in ints]
 
     def set_epoch(self, epoch: int) -> None:
         """Reseed shuffling per epoch (reference train.py:172-173,300-305).
@@ -90,6 +161,12 @@ class Loader:
         return np.arange(n)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        it = self._epoch_iter()
+        if self.prefetch > 0:
+            return _background_prefetch(it, self.prefetch)
+        return it
+
+    def _epoch_iter(self) -> Iterator[Dict[str, Any]]:
         if self.steps_per_epoch is None:
             order = self._order()
             stop = (
@@ -99,7 +176,7 @@ class Loader:
             )
             for s in range(0, stop, self.batch_size):
                 idx = order[s : s + self.batch_size]
-                yield self.collate([self.dataset[int(i)] for i in idx])
+                yield self.collate(self._fetch(idx))
             return
         # Infinite mode: keep drawing fresh shuffles until steps are served.
         served = 0
@@ -112,4 +189,4 @@ class Loader:
             idx = order[pos : pos + self.batch_size]
             pos += self.batch_size
             served += 1
-            yield self.collate([self.dataset[int(i)] for i in idx])
+            yield self.collate(self._fetch(idx))

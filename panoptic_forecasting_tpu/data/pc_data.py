@@ -27,7 +27,14 @@ import numpy as np
 
 from .cards import DataCard
 from .cityscapes import LABELS
-from .io import load_depth, load_png, read_json_file
+from .io import (
+    decode_disparity_png,
+    disparity_to_depth,
+    load_depth,
+    load_png,
+    load_png_batch,
+    read_json_file,
+)
 
 MOVING_LABEL_IDS = np.array(
     [l.id for l in LABELS if l.has_instances and l.id >= 0], np.int64
@@ -83,14 +90,25 @@ class PCTransformDataset:
         # scaled by monodepth_factor.
         self.use_imgs = bool(d.get("use_imgs"))
         self.use_cascade_disps = bool(d.get("use_cascade_disps"))
-        self.use_mono = bool(d.get("use_mono"))
-        self.monodepth_factor = float(d.get("monodepth_factor", 5.4))
+        self.use_mono = bool(d.get("use_mono", d.get("use_mono_disps")))
+        self.monodepth_factor = float(
+            d.get("monodepth_factor", 5.405405405405405)
+        )
         if d.get("disparity_dir"):
-            self.disparity_dir = os.path.join(d["disparity_dir"], split)
+            # cascade exports use a flat (split-less) layout
+            # (pc_transform_dataset.py:46-53).
+            self.disparity_dir = (
+                d["disparity_dir"]
+                if self.use_cascade_disps
+                else os.path.join(d["disparity_dir"], split)
+            )
         else:
             self.disparity_dir = os.path.join(
                 self.cityscapes_dir, "disparity_sequence", split
             )
+        # Resumable exports: skip samples whose output PNG already exists
+        # (pc_transform_dataset.py:95-100).
+        self.check_output_dir = d.get("check_output_dir")
         card.num_classes = 19
 
         import pandas as pd
@@ -114,6 +132,14 @@ class PCTransformDataset:
                 continue
             for target in targets:
                 input_inds = base_input_inds + target - (6 + self.gap_len)
+                if self.check_output_dir is not None:
+                    fr = frame - 19 + target
+                    done = os.path.join(
+                        self.check_output_dir, split, city,
+                        f"{city}_{seq}_{fr:06d}_gtFine_labelIds.png",
+                    )
+                    if os.path.exists(done):
+                        continue
                 self.items.append((idx, input_inds, target))
 
             times = self._read_times(city, seq, frame)
@@ -206,9 +232,31 @@ class PCTransformDataset:
         else:
             cum = self.ego_transforms[(city, seq, frame, int(input_inds[-1]))]
 
+        # Common path (seg reprojection + stereo disparity): batch the six
+        # same-geometry PNG decodes through the native thread pool.
+        frames = [frame - (19 - int(ind)) for ind in input_inds]
+        preloaded_segs = None
+        if not self.use_imgs:
+            preloaded_segs = load_png_batch([
+                os.path.join(
+                    self.seg_dir, city,
+                    f"pred_mask_{city}_{seq}_{fr:06d}_leftImg8bit.png",
+                )
+                for fr in frames
+            ])
+        preloaded_disp = None
+        if not (self.use_cascade_disps or self.use_mono):
+            preloaded_disp = load_png_batch([
+                os.path.join(
+                    self.disparity_dir, city,
+                    f"{city}_{seq}_{fr:06d}_disparity.png",
+                )
+                for fr in frames
+            ])
+
         segs, depths, masks = [], [], []
-        for ind in input_inds:
-            fr = frame - (19 - ind)
+        for j, ind in enumerate(input_inds):
+            fr = frames[j]
             if self.use_imgs:
                 # RGB reprojection mode (pc_transform_dataset.py:237-242):
                 # payload = leftImg8bit frames; the moving-object mask comes
@@ -231,12 +279,7 @@ class PCTransformDataset:
                     else None
                 )
             else:
-                seg = load_png(
-                    os.path.join(
-                        self.seg_dir, city,
-                        f"pred_mask_{city}_{seq}_{fr:06d}_leftImg8bit.png",
-                    )
-                )
+                seg = preloaded_segs[j]
                 moving_src = seg
             if self.use_cascade_disps:
                 depth, mask = load_depth(
@@ -261,13 +304,9 @@ class PCTransformDataset:
                 ).astype(np.float32)
                 mask = np.ones_like(depth, bool)
             else:
-                depth, mask = load_depth(
-                    os.path.join(
-                        self.disparity_dir, city,
-                        f"{city}_{seq}_{fr:06d}_disparity.png",
-                    ),
-                    baseline,
-                    float(intr.fx),
+                disp, dvalid = decode_disparity_png(preloaded_disp[j])
+                depth, mask = disparity_to_depth(
+                    disp, dvalid, baseline, float(intr.fx)
                 )
             if self.no_moving_objects and moving_src is not None:
                 mask = mask & ~np.isin(moving_src, MOVING_LABEL_IDS)

@@ -29,6 +29,11 @@ class TaskData:
                seed: int = 0) -> Loader:
         t = cfg.get("training", {})
         bs = int(t.get("batch_size", 32))
+        # Input-pipeline parallelism: replaces the reference's
+        # num_data_workers DataLoader forks (train.py:101-109) with an
+        # in-process thread pool + background batch prefetch.
+        threads = int(t.get("num_data_threads", 0))
+        prefetch = int(t.get("prefetch_batches", 2 if threads else 0))
         if split != "train" or test:
             return Loader(
                 self.datasets[split],
@@ -37,6 +42,8 @@ class TaskData:
                 drop_last=False,
                 collate_fn=self.collate_fn,
                 seed=seed,
+                prefetch=prefetch,
+                num_threads=threads,
             )
         steps = t.get("steps_per_epoch")
         accum = int(t.get("accumulate_steps", 1))
@@ -49,6 +56,8 @@ class TaskData:
             steps_per_epoch=(int(steps) * accum) if steps else None,
             weights=cfg.get("sample_weights"),
             seed=seed,
+            prefetch=prefetch,
+            num_threads=threads,
         )
 
 

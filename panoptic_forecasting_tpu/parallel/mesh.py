@@ -27,6 +27,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(cfg) -> bool:
+    """Multi-host init (reference utils/dist.py:12-32, NCCL rendezvous).
+
+    With ``distributed`` set, calls ``jax.distributed.initialize`` so
+    ``jax.devices()`` spans every host and one ``make_mesh`` covers the
+    pod/slice. On TPU pods the topology auto-detects; the explicit
+    coordinator/process keys support CPU tests and manual launches.
+    Returns True when initialization ran.
+    """
+    if not cfg.get("distributed"):
+        return False
+    kw = {}
+    for k in ("coordinator_address", "num_processes", "process_id"):
+        if cfg.get(k) is not None:
+            kw[k] = cfg[k]
+    jax.distributed.initialize(**kw)
+    return True
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     """1-D data-parallel mesh over the first ``n_devices`` devices."""
     devs = jax.devices()

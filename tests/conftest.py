@@ -18,3 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: repeated suite runs (and repeated jits of the
+# same model across tests) reuse compiled executables instead of recompiling.
+jax.config.update("jax_compilation_cache_dir", "/tmp/pf_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -140,6 +140,7 @@ def test_bg_model_input_assembly_channel_order(bg_cfg):
     assert float(full[0, 0, 0, 11 + 2]) == 1.0  # t1 class2
 
 
+@pytest.mark.slow
 def test_bg_train_step_and_predict(bg_cfg):
     from panoptic_forecasting_tpu.train.loop import train
 

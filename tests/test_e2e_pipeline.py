@@ -41,6 +41,7 @@ def _write_cfg(path, cfg):
     return path
 
 
+@pytest.mark.slow
 def test_full_chain(world):
     root, cs = world["root"], world["cs"]
     from panoptic_forecasting_tpu.cli import (

@@ -1,6 +1,7 @@
 """Loader behaviors: weighted sampling, steps_per_epoch, shuffling."""
 
 import numpy as np
+import pytest
 
 from panoptic_forecasting_tpu.data.loader import Loader
 
@@ -96,3 +97,36 @@ def test_fg_scene_collate_mixed_buckets(tmp_path):
     assert total_valid == sum(
         ds[i]["meta"]["num_instances"] for i in range(len(ds))
     )
+
+
+def test_prefetch_and_threads_preserve_order_and_content():
+    """Prefetched + thread-fetched epochs yield byte-identical batches in
+    the same order as the synchronous loader (single producer thread)."""
+    ds = _DS(13)
+    sync = Loader(ds, batch_size=4, shuffle=True, seed=7)
+    fast = Loader(ds, batch_size=4, shuffle=True, seed=7,
+                  prefetch=3, num_threads=2)
+    sync.set_epoch(1)
+    fast.set_epoch(1)
+    a = [b["inputs"]["x"].reshape(-1).tolist() for b in sync]
+    b = [b["inputs"]["x"].reshape(-1).tolist() for b in fast]
+    assert a == b
+
+
+def test_prefetch_propagates_worker_exceptions():
+    class _Boom(_DS):
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("bad sample")
+            return super().__getitem__(i)
+
+    loader = Loader(_Boom(8), batch_size=2, prefetch=2)
+    with pytest.raises(RuntimeError, match="bad sample"):
+        list(loader)
+
+
+def test_prefetch_abandoned_iterator_stops_producer():
+    loader = Loader(_DS(64), batch_size=1, prefetch=1)
+    it = iter(loader)
+    next(it)
+    it.close()  # must not deadlock or leak a blocked producer

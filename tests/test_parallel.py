@@ -67,3 +67,56 @@ def test_odom_train_on_mesh(tmp_path):
     # params remain replicated across the mesh
     leaf = jax.tree_util.tree_leaves(result["params"])[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_two_process_distributed_cpu(tmp_path):
+    """Multi-host hook: two REAL processes rendezvous via
+    jax.distributed.initialize (reference utils/dist.py:12-32) and compute a
+    cross-process allgather; only process 0 reports main."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    script = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+import sys
+from panoptic_forecasting_tpu.parallel.mesh import init_distributed, is_main_process
+
+pid = int(sys.argv[2])
+cfg = {"distributed": True, "coordinator_address": sys.argv[1],
+       "num_processes": 2, "process_id": pid}
+assert init_distributed(cfg)
+assert jax.process_count() == 2
+import jax.numpy as jnp
+from jax.experimental import multihost_utils
+
+got = multihost_utils.process_allgather(jnp.array([pid + 1]))
+assert got.reshape(-1).tolist() == [1, 2], got
+print(f"RANK{pid} main={int(is_main_process())} n={jax.device_count()}")
+"""
+    addr = f"localhost:{port}"
+    env = dict(
+        __import__("os").environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, addr, str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True, cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=180)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out}"
+    assert "RANK0 main=1" in outs[0]
+    assert "RANK1 main=0" in outs[1]
+    # 2 processes x 2 local devices = 4 global devices on both ranks
+    assert "n=4" in outs[0] and "n=4" in outs[1]

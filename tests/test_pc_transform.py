@@ -153,3 +153,67 @@ def test_use_imgs_rgb_reprojection(tmp_path):
     seg = np.asarray(preds["seg"])
     assert seg.shape == (1, 64, 128, 3)
     assert seg.max() > 0  # some RGB content landed
+
+
+def test_check_output_dir_skips_done_frames(pc_cfg, tmp_path):
+    """Resumable exports: samples whose output PNG exists are dropped at
+    index-build time (pc_transform_dataset.py:95-100)."""
+    import copy
+    import os
+
+    from panoptic_forecasting_tpu.data.io import save_png
+
+    base = build_dataset(pc_cfg, test=True).datasets["val"]
+    assert len(base) > 0
+    idx0, _, target0 = base.items[0]
+    rec = base.data.iloc[idx0]
+    done_dir = str(tmp_path / "done")
+    fr = int(rec["frame"]) - 19 + int(target0)
+    out = os.path.join(
+        done_dir, "val", rec["city"],
+        f"{rec['city']}_{rec['seq']}_{fr:06d}_gtFine_labelIds.png",
+    )
+    save_png(out, np.zeros((4, 4), np.uint8))
+
+    cfg = copy.deepcopy(pc_cfg)
+    cfg["data"]["check_output_dir"] = done_dir
+    pruned = build_dataset(cfg, test=True).datasets["val"]
+    assert len(pruned) == len(base) - 1
+
+
+def test_fg_cascade_and_monodepth_select_alternate_pkls(tmp_path):
+    """use_cascade_depths / use_monodepth swap the depth pkl stems
+    (fg_instance_dataset.py:58-62, fg_scene_dataset.py:60-66)."""
+    import os
+    import shutil
+
+    from panoptic_forecasting_tpu.data.synthetic import write_fg_fixture
+
+    root = str(tmp_path)
+    write_fg_fixture(root, splits=("val",), n_scenes=1, max_instances=2)
+    for src, dst in (
+        ("val_depth_instance_info.pkl", "val_cascadedepth_instance_info.pkl"),
+        ("val_depth_seq_info.pkl", "val_monodepth_seq_info.pkl"),
+    ):
+        shutil.copy(os.path.join(root, src), os.path.join(root, dst))
+        os.remove(os.path.join(root, src))
+
+    base = {
+        "data_splits": ["val"], "data_dir": root, "depth_dir": root,
+        "feats_dir": root, "info_3d_dir": root, "use_3d_info": True,
+        "max_depth": 200,
+    }
+    inst = build_dataset(
+        {"task": "fg",
+         "data": dict(base, use_cascade_depths=True),
+         "training": {"batch_size": 1}},
+        test=True,
+    ).datasets["val"]
+    assert len(inst) > 0 and inst[0]["inputs"]["depths"].shape[-1] == 2
+    scene = build_dataset(
+        {"task": "fg",
+         "data": dict(base, dataset_type="fg_scene", use_monodepth=True),
+         "training": {"batch_size": 1}},
+        test=True,
+    ).datasets["val"]
+    assert len(scene) > 0 and scene[0]["inputs"]["valid"].ndim == 1

@@ -134,6 +134,7 @@ def _export_convlayer_to_torch_sd(sd, params, stats, torch_prefix):
     sd[f"{torch_prefix}.norm.running_var"] = stats["norm"]["var"]
 
 
+@pytest.mark.slow
 def test_hardnet_import_roundtrip_tree():
     """Synthesize a torch-style HarDNet state dict from our init tree
     (inverse layout transforms), import it, and require exact equality —
