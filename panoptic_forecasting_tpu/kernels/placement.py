@@ -1,0 +1,250 @@
+"""Pallas TPU kernel: place a sorted (group, key) stream into a dense canvas.
+
+This is the second half of the packed z-buffer splat
+(kernels/zbuffer.py, reference capability torch_scatter.scatter_min at
+pc_transform_model.py:100-139). After ``lax.sort`` the winner of every
+canvas group is the group's smallest packed key, so "scatter the winners"
+is exactly: ``canvas[g] = key[first entry of run(g)]``.
+
+XLA's scatter lowers this to a serialized per-update loop on TPU (~40 ms
+for 6.3M points at Cityscapes scale — measured round 2). This kernel
+replaces it with a streaming one-hot-matmul placement that exploits the
+sort order:
+
+  * Winner keys are unique per group (losers are pre-masked to 0 using
+    run-start flags), so "place" = per-pixel SUM of one-hot-selected
+    keys — an MXU matmul, not a VPU scatter.
+  * Keys are split (in-kernel) into four bytes lifted to bfloat16
+    (integers <= 255 are exact in bf16), so the f32 matmul accumulators
+    reproduce the int32 key bit-exactly.
+  * The canvas is cut into supertiles of ``sw`` pixels; a flattened
+    (supertile, input-block) chunk list — built host-free in XLA with one
+    searchsorted over supertile boundaries — drives a 1-D grid via scalar
+    prefetch. Input blocks stream double-buffered; each supertile's
+    output row block accumulates in VMEM across revisited steps.
+  * Within a block, each 128-entry sub-chunk multiplies against one
+    384-lane window around its sorted group range. At Cityscapes density
+    (~1.3 pixels/entry) a sub-chunk spans ~170 +- 45 pixels, so the
+    window covers essentially every sub-chunk; rare wide spans (sparse
+    regions, supertile boundaries) take a per-STEP slow path behind a
+    single predicate — per-sub-chunk dynamic loops cost ~18 ms in bare
+    loop setup (measured), so the fast path must contain none.
+  * Entries outside a window simply fail the equality compare
+    (self-masking): stray neighbours from block rounding and the
+    sentinel padding (group = INT32_MAX) contribute zero.
+  * Output rows are (window-row, byte) pairs so the read-modify-write
+    slides along the cheap sublane axis, never the lane axis.
+
+Empirically on v5e at 6.3M points / 8.4M groups: ~7 ms placement vs
+~40 ms for the XLA scatter; the result is bit-identical.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EMPTY = 0x7FFFFFFF  # plain int: jnp constants would be captured tracers
+_BIG = 0x7FFFFFFF
+
+SUB = 128  # entries per sub-chunk
+WIN = 384  # fast-path window width (pixels) = 3 sub-tiles
+
+_DN = (((1,), (0,)), ((), ()))  # (4, SUB) @ (SUB, win) -> (4, win)
+
+
+def _bytes4(row):
+    """(1, SUB) int32 -> (4, SUB) bf16 exact byte planes (msb first)."""
+    return jnp.concatenate(
+        [
+            ((row >> 24) & 0xFF).astype(jnp.bfloat16),
+            ((row >> 16) & 0xFF).astype(jnp.bfloat16),
+            ((row >> 8) & 0xFF).astype(jnp.bfloat16),
+            (row & 0xFF).astype(jnp.bfloat16),
+        ],
+        axis=0,
+    )
+
+
+def _kernel(tid_ref, blk_ref, fst_ref, sflag_ref, win_ref, g_ref, k_ref,
+            out_ref, *, sw, nsub_in):
+    j = pl.program_id(0)
+    nsub_out = sw // SUB
+
+    @pl.when(fst_ref[j] == 1)
+    def _():
+        out_ref[...] = jnp.zeros((1, nsub_out * 4, SUB), jnp.float32)
+
+    base = tid_ref[j] * sw
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
+    lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, SUB), 1)
+
+    for i in range(nsub_in):
+        w0 = win_ref[j * nsub_in + i] & 0xFFFF
+        g_i = g_ref[0, :, i : i + 1]  # (SUB, 1) sorted groups
+        kb_i = _bytes4(k_ref[0, i : i + 1, :])  # (4, SUB) bf16 key bytes
+
+        # One window covers the typical sorted span (self-masking for
+        # strays/sentinels). Three 128-lane dots -> (12, SUB) stacked
+        # (window-row, byte) block added at a dynamic SUBLANE offset.
+        hit = (g_i == (base + w0 + lane_w)).astype(jnp.bfloat16)
+        contrib = jnp.concatenate(
+            [
+                jax.lax.dot_general(
+                    kb_i, hit[:, s * SUB : (s + 1) * SUB], _DN,
+                    preferred_element_type=jnp.float32,
+                )
+                for s in range(WIN // SUB)
+            ],
+            axis=0,
+        )
+        row0 = (w0 // SUB) * 4
+        cur = out_ref[0, pl.ds(row0, 4 * (WIN // SUB)), :]
+        out_ref[0, pl.ds(row0, 4 * (WIN // SUB)), :] = cur + contrib
+
+    # Slow path for rare wide spans: disjoint extra windows after the
+    # fast one. One predicate per STEP — per-sub-chunk fori_loops would
+    # dominate the whole kernel in loop setup.
+    @pl.when(sflag_ref[j] == 1)
+    def _():
+        for i in range(nsub_in):
+            packed = win_ref[j * nsub_in + i]
+            w0 = packed & 0xFFFF
+            extra = packed >> 16
+            g_i = g_ref[0, :, i : i + 1]
+            kb_i = _bytes4(k_ref[0, i : i + 1, :])
+
+            def body(s, _, g_i=g_i, kb_i=kb_i, w0=w0):
+                woff = w0 + WIN + s * SUB
+                hit = (g_i == (base + woff + lane_s)).astype(jnp.bfloat16)
+                contrib = jax.lax.dot_general(
+                    kb_i, hit, _DN, preferred_element_type=jnp.float32
+                )
+                wr = (woff // SUB) * 4
+                cur = out_ref[0, pl.ds(wr, 4), :]
+                out_ref[0, pl.ds(wr, 4), :] = cur + contrib
+                return 0
+
+            jax.lax.fori_loop(0, extra, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_groups", "block", "sw", "interpret")
+)
+def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
+                 sw: int = 8192, interpret: bool = False):
+    """Dense canvas from a sorted (group, key) stream.
+
+    Args:
+      group_s: (N,) int32, ascending; entries with values >= num_groups
+        (e.g. sentinels) are ignored.
+      key_s:   (N,) int32 >= 0 packed keys, ascending within each group
+        run (i.e. the pair stream is lexicographically sorted).
+      num_groups: canvas size.
+
+    Returns (num_groups,) int32: per-group min key, EMPTY (int32 max)
+    where a group has no entries.
+    """
+    n = group_s.shape[0]
+    nsub_in = block // SUB
+    nsub_out = sw // SUB
+    # Winner mask: only each group's first (= smallest-key) entry keeps
+    # its key; losers contribute 0 to the one-hot sums.
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), group_s[1:] != group_s[:-1]]
+    )
+    mkey = jnp.where(first, key_s, 0)
+
+    # Pad the stream with a full sentinel block so padding chunks always
+    # have a valid block to point at; pad the canvas to a supertile
+    # multiple.
+    npad = (-n) % block + block
+    group_p = jnp.concatenate([group_s, jnp.full((npad,), _BIG, jnp.int32)])
+    mkey_p = jnp.concatenate([mkey, jnp.zeros((npad,), jnp.int32)])
+    ntot = n + npad
+    nblocks = ntot // block
+    groups_pad = num_groups + (-num_groups) % sw
+    n_super = groups_pad // sw
+
+    # --- chunk list -------------------------------------------------------
+    bounds = jnp.arange(n_super + 1, dtype=jnp.int32) * sw
+    offs = jnp.searchsorted(group_p, bounds).astype(jnp.int32)
+    blk0 = offs[:-1] // block
+    blk1 = jnp.where(offs[1:] > offs[:-1], (offs[1:] - 1) // block, blk0)
+    counts = blk1 - blk0 + 1  # >= 1 for every supertile
+    maxchunks = n_super + nblocks  # static bound on sum(counts)
+    cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
+    )
+    j = jnp.arange(maxchunks, dtype=jnp.int32)
+    tid = jnp.clip(
+        jnp.searchsorted(cum, j, side="right").astype(jnp.int32) - 1,
+        0,
+        n_super - 1,
+    )
+    blks = jnp.clip(blk0[tid] + (j - cum[tid]), 0, nblocks - 1)
+    fst = (j == cum[tid]).astype(jnp.int32)
+
+    # Per-(chunk, sub-chunk) fast-window offset + extra-window count,
+    # packed into one int32 (w0 < 2^16 since sw <= 65536).
+    g3 = group_p.reshape(nblocks, nsub_in, SUB)
+    gf = g3[:, :, 0][blks]  # (maxchunks, nsub_in)
+    gl = g3[:, :, SUB - 1][blks]
+    base_j = (tid * sw)[:, None]
+    t0 = jnp.maximum(gf - base_j, 0)
+    w0s = jnp.clip((t0 // SUB) * SUB, 0, sw - WIN)
+    hi_w = jnp.clip((gl - base_j) // SUB, 0, nsub_out - 1)
+    exs = jnp.maximum(hi_w - (w0s // SUB + WIN // SUB - 1), 0)
+    # Fully-stray sub-chunks (every entry beyond this supertile) need no
+    # extra windows — without this, every boundary chunk would take the
+    # slow path.
+    exs = jnp.where(gf - base_j >= sw, 0, exs)
+    wins = (w0s | (exs << 16)).reshape(-1)
+    sflag = (jnp.max(exs, axis=1) > 0).astype(jnp.int32)
+
+    # Groups sub-chunk-major (entries on sublanes); keys natural layout
+    # (entries on lanes — byte planes are extracted in-kernel).
+    gT = group_p.reshape(nblocks, nsub_in, SUB).transpose(0, 2, 1)
+    kN = mkey_p.reshape(nblocks, nsub_in, SUB)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(maxchunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, SUB, nsub_in),
+                lambda i, tid, blk, fst, sf, win: (blk[i], 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, nsub_in, SUB),
+                lambda i, tid, blk, fst, sf, win: (blk[i], 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nsub_out * 4, SUB),
+            lambda i, tid, blk, fst, sf, win: (tid[i], 0, 0),
+        ),
+    )
+    sums = pl.pallas_call(
+        functools.partial(_kernel, sw=sw, nsub_in=nsub_in),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_super, nsub_out * 4, SUB), jnp.float32
+        ),
+        interpret=interpret,
+    )(tid, blks, fst, sflag, wins, gT, kN)
+
+    b = sums.reshape(n_super, nsub_out, 4, SUB).astype(jnp.int32)
+    canvas = (
+        (b[:, :, 0] << 24)
+        | (b[:, :, 1] << 16)
+        | (b[:, :, 2] << 8)
+        | b[:, :, 3]
+    ).reshape(-1)[:num_groups]
+    # key 0 never occurs for a real entry (packed depth bits of a positive
+    # float are nonzero), so 0 == untouched.
+    return jnp.where(canvas == 0, jnp.int32(EMPTY), canvas)

@@ -79,7 +79,7 @@ def _zbuffer_sort(pix: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
 
 
 def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
-                    height: int, width: int):
+                    height: int, width: int, placement: str = "scatter"):
     """Single-sort packed z-buffer — the fast TPU path.
 
     Instead of sorting the 4-neighbor-expanded stream (4N entries × 4
@@ -125,24 +125,40 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
     # out-of-bounds points.
     fu = jnp.clip(ui + gu, 0, width - 1) - cu0
     fv = jnp.clip(vi + gv, 0, height - 1) - cv0
-    # One fused sort operand: group = (pixel, corner) — 4·H·W < 2^31 for
-    # Cityscapes-scale canvases. 2-operand sort moves 1/3 less data than the
-    # previous (base, frac, key) 3-operand sort; the corner canvases come
-    # back from ONE collision-free scatter into a (P, 4) canvas.
-    group = (cv0 * width + cu0) * 4 + (fv * 2 + fu)
+    # One fused sort operand: group = (corner, pixel), corner in the HIGH
+    # bits so each corner's canvas is a contiguous plane of the scattered
+    # buffer (a stride-4 interleave made the fold reads ~10x slower).
+    # 4·H·W < 2^31 for Cityscapes-scale canvases. 2-operand sort moves 1/3
+    # less data than the previous (base, frac, key) 3-operand sort.
+    group = (fv * 2 + fu) * num_pixels + (cv0 * width + cu0)
 
     group_s, key_s = jax.lax.sort((group, key), num_keys=2)
-    group_start = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), group_s[1:] != group_s[:-1]]
-    )
 
-    # Within a group the packed keys are ascending, so each group's FIRST
-    # element is its min: scatter run starts into the (P*4,) canvas.
-    tgt = jnp.where(group_start, group_s, num_pixels * 4)
-    canvas4 = jnp.full((num_pixels * 4,), EMPTY, jnp.int32)
-    canvas4 = canvas4.at[tgt].set(key_s, mode="drop", unique_indices=True)
-    g = canvas4.reshape(num_pixels, 4)
-    g0, g1, g2, g3 = g[:, 0], g[:, 1], g[:, 2], g[:, 3]
+    if placement.startswith("pallas"):
+        # Streaming Pallas placement (kernels/placement.py): ~4-8x faster
+        # than XLA scatter on TPU, bit-identical result.
+        from .placement import place_sorted
+
+        canvas4 = place_sorted(
+            group_s,
+            key_s,
+            num_groups=num_pixels * 4,
+            interpret=placement == "pallas_interpret",
+        )
+    else:
+        # Within a group the packed keys are ascending, so each group's
+        # FIRST element is its min: scatter run starts into the (4*P,)
+        # canvas (losers target an out-of-range slot and are dropped).
+        group_start = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), group_s[1:] != group_s[:-1]]
+        )
+        tgt = jnp.where(group_start, group_s, num_pixels * 4)
+        canvas4 = jnp.full((num_pixels * 4,), EMPTY, jnp.int32)
+        canvas4 = canvas4.at[tgt].set(
+            key_s, mode="drop", unique_indices=True
+        )
+    g = canvas4.reshape(4, num_pixels)
+    g0, g1, g2, g3 = g[0], g[1], g[2], g[3]
 
     def shift(c, off):
         return jnp.concatenate([jnp.full((off,), EMPTY, jnp.int32), c[:-off]])
@@ -226,11 +242,18 @@ def zbuffer_splat(uv, depth, label, valid, *, height: int, width: int,
     )
 
     if method == "auto":
-        method = "packed" if label.ndim == 1 else "sort"
-    if method == "packed":
+        if label.ndim == 1:
+            # Pallas placement on TPU; XLA scatter placement elsewhere.
+            on_tpu = jax.default_backend() == "tpu"
+            method = "pallas" if on_tpu else "packed"
+        else:
+            method = "sort"
+    if method in ("packed", "pallas", "pallas_interpret"):
         if label.ndim != 1:
             raise ValueError("packed z-buffer supports scalar labels only")
-        return _zbuffer_packed(uv, depth, label, height, width)
+        placement = "scatter" if method == "packed" else method
+        return _zbuffer_packed(uv, depth, label, height, width,
+                               placement=placement)
 
     pix = splat_four_neighbors(uv, height, width)  # (4N,)
     depth4 = jnp.tile(depth, 4)

@@ -45,7 +45,9 @@ def test_splat_four_neighbors_fractional():
     assert pix == {3 * 8 + 2, 3 * 8 + 3, 4 * 8 + 2, 4 * 8 + 3}
 
 
-@pytest.mark.parametrize("method", ["sort", "scatter", "packed"])
+@pytest.mark.parametrize(
+    "method", ["sort", "scatter", "packed", "pallas_interpret"]
+)
 def test_zbuffer_matches_numpy_golden(method):
     rng = np.random.RandomState(0)
     h, w, n = 6, 9, 40
@@ -66,8 +68,34 @@ def test_zbuffer_matches_numpy_golden(method):
     np.testing.assert_array_equal(np.asarray(ll), gl)
     # 'packed' stores depth with the mantissa's low 8 bits truncated
     # (error ≤ 255 ULP ≈ 2.4e-4 at depth ~10, below PNG quantization 3.9e-3).
-    atol = 5e-4 if method == "packed" else 1e-5
+    atol = 1e-5 if method in ("sort", "scatter") else 5e-4
     np.testing.assert_allclose(np.asarray(dd), gd, atol=atol)
+
+
+def test_place_sorted_matches_scatter_min():
+    """Pallas placement (interpret) == NumPy scatter-min on mixed shapes:
+    uniform, border pile-up (many entries in one group), and sparse wide
+    spans that exercise the slow path."""
+    from panoptic_forecasting_tpu.kernels.placement import place_sorted
+
+    rng = np.random.RandomState(7)
+    cases = [(5000, 9000, 0), (9321, 9000, 3000), (40000, 800, 0)]
+    for num_groups, n, pile in cases:
+        g = rng.randint(0, num_groups, n).astype(np.int32)
+        if pile:
+            g[:pile] = num_groups - 1
+        k = rng.randint(1, 2**30, n).astype(np.int32)
+        order = np.lexsort((k, g))
+        g, k = g[order], k[order]
+        out = np.asarray(
+            place_sorted(
+                jnp.asarray(g), jnp.asarray(k), num_groups=num_groups,
+                interpret=True,
+            )
+        )
+        ref = np.full(num_groups, 0x7FFFFFFF, np.int32)
+        np.minimum.at(ref, g, k)
+        np.testing.assert_array_equal(out, ref)
 
 
 def test_zbuffer_packed_matches_sort_on_dense_scene():
