@@ -1,15 +1,27 @@
-"""Benchmark: hot-kernel throughput on the attached accelerator.
+"""Benchmark: end-to-end panoptic forecast throughput on the attached TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line whose headline is ``e2e_forecast_fps`` — the full
+Cityscapes-scale forecast path for one target frame:
 
-Current headline: full-resolution point-cloud reprojection + z-buffer splat
-(the reference's torch_scatter CUDA hot path, pc_transform_model.py:100-139)
-at Cityscapes scale — 3 input frames x 1024x2048, 4-neighbor fan-out (25.2M
-splatted points per forecast frame). ``vs_baseline`` is the speedup over a
-vectorized NumPy implementation of the same semantics measured on this
-host's CPU (the reference publishes no numbers and its CUDA dependency is
-unavailable here — BASELINE.md). As the build widens this will switch to
-end-to-end panoptic forecast fps.
+  1. pc     — 3x1024x2048 backproject -> ego transform -> z-buffer splat
+              (Pallas placement kernel; reference hot path
+              pc_transform_model.py:100-139)
+  2. bg     — FCHarDNet-70 over the 36-channel one-hot + depth stack
+  3. fg     — 8-instance coupled GRU/ConvLSTM rollout + mask head
+  4. fusion — paste + depth-ordered composite onto the bg canvas
+
+``vs_baseline`` is the speedup over the REFERENCE'S OWN code
+(/root/reference/panoptic_forecasting, imported with stubbed
+cityscapesscripts/torchvision) running the same four stages at the same
+shapes on this host's CPU — the only hardware the reference can run on
+here (its CUDA torch_scatter build is unavailable; that one call is
+replaced by an equivalent NumPy scatter-min, see _baseline_pc). The
+reference publishes no numbers of its own (BASELINE.md), so its measured
+runtime here is the only executable baseline.
+
+Each TPU stage runs K iterations inside one jitted scan (device-side
+input perturbation; single tunnel readback — plain block_until_ready
+does not synchronize through the axon tunnel).
 """
 
 from __future__ import annotations
@@ -20,22 +32,29 @@ import time
 
 import numpy as np
 
-
-def _numpy_splat(pix, depth4, label4, hw):
-    """Vectorized NumPy z-buffer splat (same semantics as the kernel)."""
-    best = np.full(hw, np.inf, np.float32)
-    np.minimum.at(best, pix, depth4)
-    won = depth4 == best[pix]
-    n = pix.shape[0]
-    win_idx = np.full(hw, n, np.int64)
-    np.minimum.at(win_idx, pix[won], np.nonzero(won)[0])
-    touched = win_idx < n
-    out = np.zeros(hw, label4.dtype)
-    out[touched] = label4[win_idx[touched]]
-    return out
+H, W, T_IN = 1024, 2048, 3
+N_INST, T_OUT = 8, 3
+INTR = (2262.52, 2265.30, 1096.98, 513.137)
+K = 10
 
 
-def main() -> None:
+# ---------------------------------------------------------------------------
+# TPU side
+# ---------------------------------------------------------------------------
+
+
+def _timed(fn, args, k):
+    _ = float(fn(*args, np.float32(0)))
+    best = 1e9
+    for i in range(2):
+        t0 = time.perf_counter()
+        _ = float(fn(*args, np.float32(i + 1)))
+        best = min(best, (time.perf_counter() - t0) / k)
+    return best
+
+
+def measure_tpu_stages(k: int = K) -> dict:
+    """Per-stage best-of milliseconds on the attached accelerator."""
     import jax
     import jax.numpy as jnp
 
@@ -44,105 +63,350 @@ def main() -> None:
         project_points,
         unicycle_now_T_prev,
     )
-    from panoptic_forecasting_tpu.geometry.camera import pixel_grid, transform_points
+    from panoptic_forecasting_tpu.geometry.camera import (
+        pixel_grid,
+        transform_points,
+    )
     from panoptic_forecasting_tpu.kernels import zbuffer_splat
-    from panoptic_forecasting_tpu.kernels.zbuffer import splat_four_neighbors
+    from panoptic_forecasting_tpu.kernels.mask_paste import paste_and_composite
+    from panoptic_forecasting_tpu.models.hardnet import HarDNet
+    from panoptic_forecasting_tpu.models.fg import FGCore
 
-    H, W, T = 1024, 2048, 3
-    intr = (2262.52, 2265.30, 1096.98, 513.137)
     rng = np.random.RandomState(0)
-    depth = (rng.rand(T, H, W).astype(np.float32) * 50 + 2).astype(np.float32)
-    seg = rng.randint(0, 19, size=(T, H, W)).astype(np.int32)
-    speeds = np.array([8.0, 8.2, 8.4], np.float32)
-    yaws = np.array([0.01, 0.0, -0.01], np.float32)
+    results = {}
 
-    def forecast(depth, seg, speeds, yaws):
+    def scan_loop(body):
+        @jax.jit
+        def run(x, salt):
+            def step(c, i):
+                out = body(x, i + salt)
+                return c + jax.tree_util.tree_reduce(
+                    lambda a, b: a
+                    + b.ravel()[::65536].astype(jnp.float32).sum(),
+                    out,
+                    jnp.float32(0),
+                ), ()
+            return jax.lax.scan(
+                step, jnp.float32(0), jnp.arange(k, dtype=jnp.float32)
+            )[0]
+        return run
+
+    # ---- 1. pc ----
+    depth = jnp.asarray(rng.rand(T_IN, H, W).astype(np.float32) * 50 + 2)
+    seg = jnp.asarray(rng.randint(0, 19, size=(T_IN, H, W)).astype(np.int32))
+    speeds = jnp.asarray(np.array([8.0, 8.2, 8.4], np.float32))
+    yaws = jnp.asarray(np.array([0.01, 0.0, -0.01], np.float32))
+
+    def pc_forecast(depth, salt):
+        depth = depth + 0.001 * salt
         uv = pixel_grid(H, W)
         Ts = unicycle_now_T_prev(speeds, yaws, 0.18)
-        pts = backproject_pixels(uv[None], depth, intr)  # (T, H, W, 3)
-        pts = jax.vmap(transform_points)(Ts.astype(jnp.float32), pts.reshape(T, -1, 3))
-        uv2, z2 = project_points(pts, intr)
+        pts = backproject_pixels(uv[None], depth, INTR)
+        pts = jax.vmap(transform_points)(
+            Ts.astype(jnp.float32), pts.reshape(T_IN, -1, 3)
+        )
+        uv2, z2 = project_points(pts, INTR)
         valid = (
             (z2 > 0)
-            & (uv2[..., 0] >= 0)
-            & (uv2[..., 0] < W)
-            & (uv2[..., 1] >= 0)
-            & (uv2[..., 1] < H)
+            & (uv2[..., 0] >= 0) & (uv2[..., 0] < W)
+            & (uv2[..., 1] >= 0) & (uv2[..., 1] < H)
         )
         return zbuffer_splat(
-            uv2.reshape(-1, 2),
-            z2.reshape(-1),
-            seg.reshape(-1),
-            valid.reshape(-1),
-            height=H,
-            width=W,
+            uv2.reshape(-1, 2), z2.reshape(-1), seg.reshape(-1),
+            valid.reshape(-1), height=H, width=W,
         )
 
-    # NOTE on methodology: this platform memoizes identical (executable,
-    # args) calls, block_until_ready alone does not force execution through
-    # the device tunnel, and host<->device transfers ride a network tunnel
-    # (25 MB input upload ≈ 200 ms — would swamp the kernel). So: K
-    # forecasts over on-device-perturbed inputs run inside ONE jitted scan
-    # (distinct inputs defeat memoization, zero per-iter uploads), the clock
-    # stops after fetching a scalar checksum, and the single tunnel RTT is
-    # amortized over K.
-    K = 20
+    results["pc_ms"] = _timed(scan_loop(pc_forecast), (depth,), k) * 1e3
 
-    @jax.jit
-    def bench_loop(depth, seg, speeds, yaws, salt):
-        def body(carry, k):
-            lab, dep = forecast(
-                depth + 0.001 * (k.astype(jnp.float32) + salt), seg,
-                speeds, yaws,
+    # ---- 2. bg ----
+    net = HarDNet(n_classes=11)
+    x_bg = jnp.asarray(rng.rand(1, H, W, 36).astype(np.float32))
+    bg_vars = jax.eval_shape(
+        net.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 36))
+    )
+    bg_vars = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(rng.randn(*s.shape).astype(s.dtype) * 0.05),
+        bg_vars,
+    )
+    results["bg_ms"] = _timed(
+        scan_loop(lambda x, s: net.apply(bg_vars, x + 0.001 * s)),
+        (x_bg,), k,
+    ) * 1e3
+
+    # ---- 3. fg ----
+    core = FGCore(rnn_hidden=128)
+    enc_inp = jnp.asarray(rng.randn(N_INST, T_IN, 94).astype(np.float32))
+    feats = jnp.asarray(
+        rng.randn(N_INST, T_IN, 14, 14, 256).astype(np.float32)
+    )
+    odom_out = jnp.asarray(rng.randn(N_INST, T_OUT, 5).astype(np.float32))
+    fg_vars = core.init(jax.random.PRNGKey(0), enc_inp, feats, odom_out,
+                        T_OUT)
+    results["fg_ms"] = _timed(
+        scan_loop(
+            lambda x, s: core.apply(fg_vars, x + 0.001 * s, feats,
+                                    odom_out, T_OUT)
+        ),
+        (enc_inp,), k,
+    ) * 1e3
+
+    # ---- 4. fusion ----
+    masks = jnp.asarray(rng.rand(N_INST, 28, 28).astype(np.float32))
+    boxes = jnp.asarray((rng.rand(N_INST, 4) * [W, H, W, H]).astype(np.float32))
+    depths_i = jnp.asarray((rng.rand(N_INST) * 50 + 2).astype(np.float32))
+    ids = jnp.asarray(np.arange(1, N_INST + 1).astype(np.int32) + 26000)
+    valid_i = jnp.ones((N_INST,), bool)
+    bg_lab = jnp.asarray(rng.randint(0, 11, (H, W)).astype(np.int32))
+    bg_dep = jnp.asarray((rng.rand(H, W) * 80 + 2).astype(np.float32))
+
+    def fuse(m, s):
+        seg_out, dep_out = paste_and_composite(
+            m + 0.0001 * s, boxes, depths_i, ids, valid_i, bg_lab, bg_dep,
+            img_h=H, img_w=W, threshold=0.5, use_depth=True,
+        )
+        return seg_out, dep_out
+
+    results["fusion_ms"] = _timed(scan_loop(fuse), (masks,), k) * 1e3
+
+    results["total_ms"] = sum(results.values())
+    results["e2e_fps"] = 1000.0 / results["total_ms"]
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Baseline: the reference's own code, CPU torch
+# ---------------------------------------------------------------------------
+
+
+def _install_reference_stubs():
+    import collections
+    import types
+
+    if "cityscapescripts" in sys.modules:  # pragma: no cover
+        return
+    if "cityscapesscripts.helpers.labels" not in sys.modules:
+        from panoptic_forecasting_tpu.data.cityscapes import LABELS
+
+        CsLabel = collections.namedtuple(
+            "Label",
+            ["name", "id", "trainId", "category", "categoryId",
+             "hasInstances", "ignoreInEval", "color"],
+        )
+        cs = [
+            CsLabel(l.name, l.id, l.train_id, l.category, 0,
+                    l.has_instances, l.ignore_in_eval, l.color)
+            for l in LABELS
+        ]
+        mod = types.ModuleType("cityscapesscripts.helpers.labels")
+        mod.labels = cs
+        mod.id2label = {l.id: l for l in cs}
+        mod.trainId2label = {l.trainId: l for l in cs}
+        mod.name2label = {l.name: l for l in cs}
+        pkg = types.ModuleType("cityscapesscripts")
+        helpers = types.ModuleType("cityscapesscripts.helpers")
+        pkg.helpers = helpers
+        helpers.labels = mod
+        sys.modules["cityscapesscripts"] = pkg
+        sys.modules["cityscapesscripts.helpers"] = helpers
+        sys.modules["cityscapesscripts.helpers.labels"] = mod
+    if "torchvision" not in sys.modules:
+        import types as _t
+
+        tv = _t.ModuleType("torchvision")
+        tvt = _t.ModuleType("torchvision.transforms")
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+
+def _baseline_pc(torch, rng):
+    """The reference pc hot path (pc_transform_model.py:26-150) on CPU:
+    torch backproject/transform/project; the torch_scatter.scatter_min
+    z-buffer (CUDA-only here) replaced by NumPy minimum.at with identical
+    4-neighbor splat semantics."""
+    depth = torch.from_numpy(rng.rand(T_IN, H, W).astype(np.float32) * 50 + 2)
+    seg = torch.from_numpy(
+        rng.randint(0, 19, size=(T_IN, H, W)).astype(np.int64)
+    )
+    K_m = torch.tensor(
+        [[INTR[0], 0, INTR[2]], [0, INTR[1], INTR[3]], [0, 0, 1]],
+        dtype=torch.float32,
+    )
+    Tm = torch.eye(4).unsqueeze(0).repeat(T_IN, 1, 1)
+    Tm[:, 0, 3] = torch.tensor([1.44, 2.95, 4.4])  # fwd ego translations
+
+    t0 = time.perf_counter()
+    v, u = torch.meshgrid(
+        torch.arange(H, dtype=torch.float32),
+        torch.arange(W, dtype=torch.float32),
+        indexing="ij",
+    )
+    ones = torch.ones_like(u)
+    pix = torch.stack([u, v, ones], dim=-1).reshape(-1, 3)
+    Kinv = torch.inverse(K_m)
+    pts = (pix @ Kinv.T).unsqueeze(0) * depth.reshape(T_IN, -1, 1)
+    hom = torch.cat([pts, torch.ones(T_IN, pts.shape[1], 1)], dim=-1)
+    pts2 = torch.einsum("tij,tnj->tni", Tm, hom)[..., :3]
+    proj = pts2 @ K_m.T
+    z = proj[..., 2].clamp(min=1e-8)
+    uv = proj[..., :2] / z.unsqueeze(-1)
+    # 4-neighbor z-buffer splat (NumPy stand-in for torch_scatter CUDA)
+    uvn = uv.reshape(-1, 2).numpy()
+    zn = z.reshape(-1).numpy()
+    labn = seg.reshape(-1).numpy()
+    best = np.full(H * W, np.inf, np.float32)
+    out_lab = np.zeros(H * W, labn.dtype)
+    for cu in (np.floor, np.ceil):
+        for cv in (np.floor, np.ceil):
+            ui = np.clip(cu(uvn[:, 0]).astype(np.int64), 0, W - 1)
+            vi = np.clip(cv(uvn[:, 1]).astype(np.int64), 0, H - 1)
+            flat = vi * W + ui
+            np.minimum.at(best, flat, zn)
+    for cu in (np.floor, np.ceil):
+        for cv in (np.floor, np.ceil):
+            ui = np.clip(cu(uvn[:, 0]).astype(np.int64), 0, W - 1)
+            vi = np.clip(cv(uvn[:, 1]).astype(np.int64), 0, H - 1)
+            flat = vi * W + ui
+            won = zn == best[flat]
+            out_lab[flat[won]] = labn[won]
+    return (time.perf_counter() - t0), float(out_lab.sum())
+
+
+def measure_reference_cpu() -> dict:
+    """Time the reference's own modules at bench shapes on this host's CPU."""
+    import contextlib
+
+    with contextlib.redirect_stdout(sys.stderr):
+        return _measure_reference_cpu()
+
+
+def _measure_reference_cpu() -> dict:
+    import torch
+
+    torch.set_num_threads(max(1, torch.get_num_threads()))
+    _install_reference_stubs()
+    from panoptic_forecasting.models.bg import hardnet as ref_hardnet
+    from panoptic_forecasting.models.fg.fg_model import FGModel
+    from panoptic_forecasting.models.fg import model_utils as ref_mu
+
+    rng = np.random.RandomState(0)
+    results = {}
+
+    # pc
+    pc_s, _ = _baseline_pc(torch, rng)
+    results["pc_ms"] = pc_s * 1e3
+
+    # bg: FCHarDNet-70, 36-ch stem / 11-class head like the shipped config
+    net = ref_hardnet.hardnet(n_classes=19).eval()
+    net.expand_first_layer(36)
+    net.expand_last_layer(11)
+    x = torch.from_numpy(rng.rand(1, 36, H, W).astype(np.float32))
+    with torch.no_grad():
+        t0 = time.perf_counter()
+        _ = net(x)
+        results["bg_ms"] = (time.perf_counter() - t0) * 1e3
+
+    # fg: reference FGModel forward (coupled GRU/ConvLSTM + mask head)
+    stats2 = (torch.zeros(8), torch.ones(8))
+    params = {
+        "model": {
+            "rnn_hidden": 128, "loss_type": "smoothl1",
+            "instance_feat_channels": 8, "traj_feat_channels": 16,
+            "instance_feat_hidden": 64, "use_odometry": True,
+            "rnn_type": "gru", "use_depth_inp": True,
+            "use_depth_sorting": True, "num_traj_out_layers": 1,
+            "num_convlstm_layers": 2, "mask_head": {},
+        },
+        "data": {
+            "odom_size": 5,
+            "norm_params": stats2,
+            "depth_norm_params": (torch.zeros(2), torch.ones(2)),
+            "odom_norm_params": (torch.zeros(5), torch.ones(5)),
+        },
+    }
+    torch.manual_seed(0)
+    fg = FGModel(params).eval()
+    n = N_INST
+    trajs = torch.from_numpy(rng.randn(n, T_IN, 8).astype(np.float32))
+    bmask = torch.ones(n, T_IN)
+    bvmask = torch.ones(n, T_IN)
+    feats = torch.from_numpy(
+        rng.randn(n, T_IN, 256, 14, 14).astype(np.float32)
+    )
+    out_inds = torch.full((n,), T_OUT - 1, dtype=torch.long)
+    odom = torch.from_numpy(
+        rng.randn(n, T_IN + T_OUT, 5).astype(np.float32)
+    )
+    depths = torch.from_numpy(rng.randn(n, T_IN, 2).astype(np.float32))
+    dmask = torch.ones(n, T_IN)
+    classes = torch.from_numpy(rng.randint(0, 8, n).astype(np.int64))
+    with torch.no_grad():
+        t0 = time.perf_counter()
+        _ = fg(trajs, bmask, bvmask, feats, out_inds, odom, depths, dmask,
+               classes, T_OUT)
+        results["fg_ms"] = (time.perf_counter() - t0) * 1e3
+
+    # fusion: per-instance paste_mask + depth-sorted composite
+    # (fg_model.py:557-588 inner loop, reference model_utils.paste_mask)
+    masks = torch.from_numpy(rng.rand(n, 28, 28).astype(np.float32))
+    boxes = torch.from_numpy(
+        (rng.rand(n, 4) * [W, H, W, H]).astype(np.float32)
+    )
+    inst_depths = rng.rand(n) * 50 + 2
+    bg_lab = torch.from_numpy(rng.randint(0, 11, (H, W)).astype(np.int64))
+    bg_dep = torch.from_numpy((rng.rand(H, W) * 80 + 2).astype(np.float32))
+    with torch.no_grad():
+        t0 = time.perf_counter()
+        order = np.argsort(-inst_depths)
+        seg_c = bg_lab.clone()
+        dep_c = bg_dep.clone()
+        for idx, j in enumerate(order):
+            pasted = ref_mu.paste_mask(
+                masks[j].reshape(1, 1, 28, 28), boxes[j].unsqueeze(0),
+                H, W, True,
+            )[0, 0]
+            on = (pasted >= 0.5) & (
+                torch.tensor(inst_depths[j], dtype=torch.float32) < dep_c
             )
-            return carry + lab.astype(jnp.int32).sum() + dep.sum().astype(
-                jnp.int32
-            ), ()
+            seg_c[on] = 26000 + idx
+            dep_c[on] = float(inst_depths[j])
+        results["fusion_ms"] = (time.perf_counter() - t0) * 1e3
 
-        total, _ = jax.lax.scan(
-            body, jnp.int32(0), jnp.arange(1, K + 1)
+    results["total_ms"] = sum(results.values())
+    results["e2e_fps"] = 1000.0 / results["total_ms"]
+    return results
+
+
+def main() -> None:
+    tpu = measure_tpu_stages()
+    record = {
+        "metric": "e2e_forecast_fps",
+        "value": round(tpu["e2e_fps"], 3),
+        "unit": "frames/sec (pc+bg+fg+fusion panoptic forecast, 1024x2048)",
+        "stages_ms": {
+            s: round(tpu[s], 3)
+            for s in ("pc_ms", "bg_ms", "fg_ms", "fusion_ms")
+        },
+    }
+    try:
+        base = measure_reference_cpu()
+        record["vs_baseline"] = round(tpu["e2e_fps"] / base["e2e_fps"], 2)
+        record["baseline_fps"] = round(base["e2e_fps"], 4)
+        record["baseline_stages_ms"] = {
+            s: round(base[s], 1)
+            for s in ("pc_ms", "bg_ms", "fg_ms", "fusion_ms")
+        }
+        record["baseline"] = (
+            "reference's own code (/root/reference) on this host's CPU, "
+            "same stages/shapes; torch_scatter CUDA z-buffer replaced by "
+            "an equivalent NumPy scatter-min"
         )
-        return total
-
-    args = (jnp.asarray(depth), jnp.asarray(seg), jnp.asarray(speeds), jnp.asarray(yaws))
-    _ = int(bench_loop(*args, jnp.float32(0)))  # compile + warm
-    times = []
-    for i in range(3):
-        t0 = time.perf_counter()
-        _ = int(bench_loop(*args, jnp.float32(i + 1)))
-        times.append((time.perf_counter() - t0) / K)
-    dt = min(times)
-    fps = 1.0 / dt
-
-    # NumPy baseline proxy: same splat semantics, one frame, on host CPU.
-    uv_np = np.stack(
-        np.meshgrid(np.arange(W, dtype=np.float32), np.arange(H, dtype=np.float32)),
-        axis=-1,
-    )
-    uvs = np.tile(uv_np.reshape(-1, 2), (T, 1)) + rng.rand(T * H * W, 2) * 3
-    depths_np = depth.reshape(-1)
-    pix = np.asarray(
-        splat_four_neighbors(jnp.asarray(uvs), H, W)
-    ).astype(np.int64)
-    d4 = np.tile(depths_np, 4)
-    l4 = np.tile(seg.reshape(-1), 4)
-    np_dt = 1e9
-    for _ in range(3):  # best-of-3: conservative ratio on a noisy 1-core host
-        t0 = time.perf_counter()
-        _numpy_splat(pix, d4, l4, H * W)
-        np_dt = min(np_dt, time.perf_counter() - t0)
-    np_fps = 1.0 / np_dt
-
-    print(
-        json.dumps(
-            {
-                "metric": "pc_splat_fps",
-                "value": round(fps, 3),
-                "unit": "frames/sec (3x1024x2048 reproject+zbuffer)",
-                "vs_baseline": round(fps / np_fps, 2),
-            }
-        )
-    )
+    except Exception as exc:  # pragma: no cover
+        record["vs_baseline"] = -1.0
+        record["baseline"] = f"reference CPU baseline failed: {exc!r}"
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
