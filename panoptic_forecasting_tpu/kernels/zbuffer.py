@@ -139,11 +139,17 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
         # than XLA scatter on TPU, bit-identical result.
         from .placement import place_sorted
 
+        interp = placement == "pallas_interpret"
+        # Interpret mode (CPU tests) runs the kernel op-by-op in Python:
+        # use small blocks/supertiles so the unrolled sub-chunk loop stays
+        # short. Same kernel logic either way.
+        sizes = {"block": 512, "sw": 1024} if interp else {}
         canvas4 = place_sorted(
             group_s,
             key_s,
             num_groups=num_pixels * 4,
-            interpret=placement == "pallas_interpret",
+            interpret=interp,
+            **sizes,
         )
     else:
         # Within a group the packed keys are ascending, so each group's

@@ -90,7 +90,7 @@ def test_place_sorted_matches_scatter_min():
         out = np.asarray(
             place_sorted(
                 jnp.asarray(g), jnp.asarray(k), num_groups=num_groups,
-                interpret=True,
+                interpret=True, block=512, sw=1024,
             )
         )
         ref = np.full(num_groups, 0x7FFFFFFF, np.int32)

@@ -129,8 +129,11 @@ def test_gradient_accumulation_matches_big_batch(odom_cfg):
     assert np.isfinite(result["best_val_result"])
 
 
+@pytest.mark.slow
 def test_profiler_trace_capture(odom_cfg, tmp_path):
-    """training.profile_dir writes a jax.profiler trace (SURVEY §5.1)."""
+    """training.profile_dir writes a jax.profiler trace (SURVEY §5.1).
+
+    Slow-marked: the trace collection itself takes ~30s on a 1-core host."""
     import glob as _glob
 
     from panoptic_forecasting_tpu.train.loop import train
