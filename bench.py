@@ -56,6 +56,11 @@ def _timed(fn, args, k):
 def measure_tpu_stages(k: int = K) -> dict:
     """Per-stage best-of milliseconds on the attached accelerator."""
     import jax
+
+    # Persistent compile cache: repeat bench runs skip the ~2-4 min of
+    # stage compiles (first compile through the tunnel is the slow part).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pf_tpu_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from panoptic_forecasting_tpu.geometry import (
@@ -128,10 +133,13 @@ def measure_tpu_stages(k: int = K) -> dict:
         lambda s: jnp.asarray(rng.randn(*s.shape).astype(s.dtype) * 0.05),
         bg_vars,
     )
-    results["bg_ms"] = _timed(
-        scan_loop(lambda x, s: net.apply(bg_vars, x + 0.001 * s)),
-        (x_bg,), k,
-    ) * 1e3
+    def bg_step(x, s):
+        # Production consumer: argmax seg map for the fusion stage
+        # (BGModel.predict), not raw logits.
+        logits = net.apply(bg_vars, x + 0.001 * s)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    results["bg_ms"] = _timed(scan_loop(bg_step), (x_bg,), k) * 1e3
 
     # ---- 3. fg ----
     core = FGCore(rnn_hidden=128)
@@ -294,9 +302,10 @@ def _measure_reference_cpu() -> dict:
     rng = np.random.RandomState(0)
     results = {}
 
-    # pc
-    pc_s, _ = _baseline_pc(torch, rng)
-    results["pc_ms"] = pc_s * 1e3
+    # pc (best of 2 — single-core CPU timings jitter ~2x)
+    results["pc_ms"] = min(
+        _baseline_pc(torch, rng)[0] for _ in range(2)
+    ) * 1e3
 
     # bg: FCHarDNet-70, 36-ch stem / 11-class head like the shipped config
     net = ref_hardnet.hardnet(n_classes=19).eval()
@@ -304,9 +313,12 @@ def _measure_reference_cpu() -> dict:
     net.expand_last_layer(11)
     x = torch.from_numpy(rng.rand(1, 36, H, W).astype(np.float32))
     with torch.no_grad():
-        t0 = time.perf_counter()
-        _ = net(x)
-        results["bg_ms"] = (time.perf_counter() - t0) * 1e3
+        best = 1e12
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _ = net(x)
+            best = min(best, time.perf_counter() - t0)
+        results["bg_ms"] = best * 1e3
 
     # fg: reference FGModel forward (coupled GRU/ConvLSTM + mask head)
     stats2 = (torch.zeros(8), torch.ones(8))
