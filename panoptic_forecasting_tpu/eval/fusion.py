@@ -20,6 +20,7 @@ over dense padded instance arrays; ordering + id assignment stay host-side
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -92,13 +93,9 @@ def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
 
 
-def fuse_scene(model, masks, boxes, depths, classes, valid, bg_labels,
-               bg_depth=None, panoptic=True, threshold=0.5):
-    """Composite one scene. All arrays dense (N, ...); returns (seg, ids).
-
-    ``ids[k]`` is the painted id of instance k (0 for padded slots).
-    """
-    n = masks.shape[0]
+def _order_and_ids(model, depths, classes, valid, panoptic):
+    """Host-side visit order + painted ids for one scene (tiny arrays)."""
+    n = depths.shape[0]
     if model.use_depth_sorting:
         order = np.argsort(np.where(valid, -depths, np.inf), kind="stable")
     else:
@@ -115,28 +112,75 @@ def fuse_scene(model, masks, boxes, depths, classes, valid, bg_labels,
             ids[k] = cl * 1000 + c
         else:
             ids[k] = cl
+    return order, ids
 
+
+@functools.lru_cache(maxsize=None)
+def _paste_batch(img_h, img_w):
+    def one(m, b):
+        return paste_mask_bilinear(m, b, img_h=img_h, img_w=img_w)
+
+    return jax.jit(jax.vmap(one))
+
+
+@functools.lru_cache(maxsize=None)
+def _composite_batch(img_h, img_w, threshold, use_depth):
+    def one(m, b, d, i, v, bl, bd):
+        return paste_and_composite(
+            m, b, d, i, v, bl, bd, img_h=img_h, img_w=img_w,
+            threshold=threshold, use_depth=use_depth,
+        )
+
+    return jax.jit(jax.vmap(one))
+
+
+def fuse_scenes(model, masks, boxes, depths, classes, valid, bg_labels,
+                bg_depths=None, panoptic=True, threshold=0.5):
+    """Composite a batch of scenes in ONE vmapped device call.
+
+    All arrays dense (S, N, ...) / (S, H, W); returns (segs (S, H, W),
+    ids (S, N)). ``ids[b, k]`` is the painted id of instance k (0 for
+    padded slots). Ordering + id assignment stay host-side (tiny);
+    everything pixel-sized runs batched on device — the per-scene
+    composite loop cost one device round-trip per scene before.
+    """
+    s, n = masks.shape[:2]
+    orders = np.zeros((s, n), np.int64)
+    ids = np.zeros((s, n), np.int64)
+    for b in range(s):
+        orders[b], ids[b] = _order_and_ids(
+            model, depths[b], classes[b], valid[b], panoptic
+        )
+    take = np.arange(s)[:, None]
     img_h, img_w = bg_labels.shape[-2], bg_labels.shape[-1]
-    use_depth = bool(model.use_depth_sorting and bg_depth is not None)
-    if bg_depth is None:
-        bg_depth_arr = jnp.full((img_h, img_w), 1e9, jnp.float32)
+    use_depth = bool(model.use_depth_sorting and bg_depths is not None)
+    if bg_depths is None:
+        bgd = np.full((s, img_h, img_w), 1e9, np.float32)
     else:
-        bgd = np.asarray(bg_depth, np.float32)
-        bg_depth_arr = jnp.asarray(np.where(bgd > 0, bgd, 1e9))
-    seg, _ = paste_and_composite(
-        jnp.asarray(masks[order]),
-        jnp.asarray(boxes[order]),
-        jnp.asarray(depths[order]),
-        jnp.asarray(ids[order].astype(np.int32)),
-        jnp.asarray(valid[order]),
+        bgd = np.asarray(bg_depths, np.float32)
+        bgd = np.where(bgd > 0, bgd, 1e9)
+    segs, _ = _composite_batch(img_h, img_w, threshold, use_depth)(
+        jnp.asarray(masks[take, orders]),
+        jnp.asarray(boxes[take, orders]),
+        jnp.asarray(depths[take, orders]),
+        jnp.asarray(ids[take, orders].astype(np.int32)),
+        jnp.asarray(valid[take, orders]),
         jnp.asarray(bg_labels.astype(np.int32)),
-        bg_depth_arr,
-        img_h=img_h,
-        img_w=img_w,
-        threshold=threshold,
-        use_depth=use_depth,
+        jnp.asarray(bgd),
     )
-    return np.asarray(seg), ids
+    return np.asarray(segs), ids
+
+
+def fuse_scene(model, masks, boxes, depths, classes, valid, bg_labels,
+               bg_depth=None, panoptic=True, threshold=0.5):
+    """Composite one scene (thin wrapper over the batched path)."""
+    segs, ids = fuse_scenes(
+        model, masks[None], boxes[None], depths[None], classes[None],
+        valid[None], np.asarray(bg_labels)[None],
+        None if bg_depth is None else np.asarray(bg_depth)[None],
+        panoptic=panoptic, threshold=threshold,
+    )
+    return segs[0], ids[0]
 
 
 def predict_panoptic(model, variables, batch) -> Dict[str, Any]:
@@ -151,23 +195,19 @@ def predict_panoptic(model, variables, batch) -> Dict[str, Any]:
     valid = np.asarray(batch["inputs"]["valid"], bool)
     classes = np.asarray(batch["inputs"]["classes"])
     s = masks.shape[0]
-    segs, all_ids = [], []
     backgrounds = batch["inputs"].get("background")
-    for b in range(s):
-        if backgrounds is not None:
-            bg = np.asarray(backgrounds[b]).astype(np.int64)
-            bg = np.where(bg >= 11, 255, bg)
-        else:
-            bg = np.full((IMG_H, IMG_W), 255, np.int64)
-        seg, ids = fuse_scene(
-            model, masks[b], boxes[b], depths[b], classes[b], valid[b],
-            bg, panoptic=True,
-        )
-        segs.append(seg)
-        all_ids.append(ids)
+    if backgrounds is not None:
+        bg = np.asarray(backgrounds).astype(np.int64)
+        # thing pixels (>= 11) reset to void first (fg_model.py:516-518)
+        bg = np.where(bg >= 11, 255, bg)
+    else:
+        bg = np.full((s, IMG_H, IMG_W), 255, np.int64)
+    segs, ids = fuse_scenes(
+        model, masks, boxes, depths, classes, valid, bg, panoptic=True
+    )
     return {
-        "seg": np.stack(segs),
-        "ids": all_ids,
+        "seg": segs,
+        "ids": list(ids),
         "bbox": boxes,
         "depths": depths,
         "masks": masks,
@@ -186,19 +226,15 @@ def predict_semantics(model, variables, batch) -> Dict[str, Any]:
     valid = np.asarray(batch["inputs"]["valid"], bool)
     classes = np.asarray(batch["inputs"]["classes"])
     s = masks.shape[0]
-    segs = []
     backgrounds = batch["inputs"].get("background")
-    for b in range(s):
-        if backgrounds is not None:
-            bg = np.asarray(backgrounds[b]).astype(np.int64)
-        else:
-            bg = np.full((IMG_H, IMG_W), 255, np.int64)
-        seg, _ = fuse_scene(
-            model, masks[b], boxes[b], depths[b], classes[b], valid[b],
-            bg, panoptic=False,
-        )
-        segs.append(seg)
-    return {"seg": np.stack(segs), "bbox": boxes, "depths": depths}
+    if backgrounds is not None:
+        bg = np.asarray(backgrounds).astype(np.int64)
+    else:
+        bg = np.full((s, IMG_H, IMG_W), 255, np.int64)
+    segs, _ = fuse_scenes(
+        model, masks, boxes, depths, classes, valid, bg, panoptic=False
+    )
+    return {"seg": segs, "bbox": boxes, "depths": depths}
 
 
 def predict_instances(model, variables, batch) -> Dict[str, Any]:
@@ -215,16 +251,23 @@ def predict_instances(model, variables, batch) -> Dict[str, Any]:
     valid = np.asarray(batch["inputs"]["valid"], bool)
     classes = np.asarray(batch["inputs"]["classes"])
     s, n = masks.shape[:2]
-    # paste_mask_bilinear is already jitted with static img_h/img_w; calling
-    # it directly reuses the global compile cache across batches.
-    paste = lambda m, b: paste_mask_bilinear(m, b, img_h=IMG_H, img_w=IMG_W)
+    # One vmapped device call pastes every instance of the batch (the
+    # per-instance loop cost one round-trip each before); the per-instance
+    # dict assembly stays host-side.
+    paste = _paste_batch(IMG_H, IMG_W)
+    probs = np.asarray(
+        paste(
+            jnp.asarray(masks.reshape(s * n, *masks.shape[2:])),
+            jnp.asarray(boxes.reshape(s * n, 4)),
+        )
+    ).reshape(s, n, IMG_H, IMG_W)
     scenes: List[List[Dict[str, Any]]] = []
     for b in range(s):
         insts = []
         for k in range(n):
             if not valid[b, k]:
                 continue
-            prob = np.asarray(paste(jnp.asarray(masks[b, k]), jnp.asarray(boxes[b, k])))
+            prob = probs[b, k]
             binary = prob >= 0.5
             score = float(prob[binary].mean()) if binary.any() else 0.0
             insts.append(
