@@ -411,3 +411,134 @@ def test_fusion_panoptic_golden(ref):
     assert mismatch < 1e-4, f"panoptic maps differ on {mismatch:.2%} pixels"
     for b in range(len(scene_sizes)):
         assert set(np.unique(seg[b])) == set(np.unique(ref_seg[b]))
+
+
+# ---------------------------------------------------------------------------
+# PC transform: reference predict with a scatter_min stub
+# (pc_transform_model.py:26-150)
+# ---------------------------------------------------------------------------
+
+
+def _install_torch_scatter_stub():
+    """torch_scatter.scatter_min CPU stand-in with the same contract:
+    (min, argmin) per index; untouched slots keep argmin == src.size(dim).
+    Ties resolve to the smallest source index (CPU-deterministic)."""
+    if "torch_scatter" in sys.modules:
+        return
+    mod = types.ModuleType("torch_scatter")
+
+    def scatter_min(src, index, dim=-1, dim_size=None):
+        assert dim in (-1, src.dim() - 1)
+        s = src.numpy()
+        ix = index.numpy()
+        b = s.shape[0]
+        n = s.shape[-1]
+        out = np.full((b, dim_size), np.inf, s.dtype)
+        arg = np.full((b, dim_size), n, np.int64)
+        for bi in range(b):
+            np.minimum.at(out[bi], ix[bi], s[bi])
+            won = s[bi] == out[bi][ix[bi]]
+            np.minimum.at(
+                arg[bi], ix[bi][won], np.nonzero(won)[0].astype(np.int64)
+            )
+        out[~np.isfinite(out)] = 0
+        return torch.from_numpy(out), torch.from_numpy(arg)
+
+    mod.scatter_min = scatter_min
+    sys.modules["torch_scatter"] = mod
+
+
+def test_pc_transform_golden(ref):
+    """Reference PCTransformModel.predict (4-neighbor splat + z-buffer,
+    with a deterministic scatter_min stub) == our pc_transform_predict.
+
+    Depths are unique multiples of 1/64 below 128 m, so the packed path's
+    8-low-mantissa-bit truncation is lossless and no depth ties occur."""
+    _install_torch_scatter_stub()
+    from panoptic_forecasting.models.pc_transform import (
+        pc_transform_model as ref_pc_mod,
+    )
+
+    # The module may have been imported before the stub existed (its
+    # guarded ``import torch_scatter`` failed silently) — inject it.
+    ref_pc_mod.torch_scatter = sys.modules["torch_scatter"]
+    PCTransformModel = ref_pc_mod.PCTransformModel
+
+    from panoptic_forecasting_tpu.geometry import (
+        rdf_T_flu,
+        unicycle_now_T_prev,
+    )
+    from panoptic_forecasting_tpu.models.pc_transform import (
+        pc_transform_predict,
+    )
+
+    rng = np.random.RandomState(5)
+    b_sz, t_in, h, w = 1, 2, 40, 64
+    n = t_in * h * w
+    depth = (
+        2.0 + rng.permutation(n).astype(np.float32) / 64.0
+    ).reshape(1, t_in, h, w)
+    mask = (rng.rand(1, t_in, h, w) > 0.15)
+    seg = rng.randint(0, 19, size=(1, t_in, h, w)).astype(np.int64)
+    K = np.array(
+        [[70.0, 0, w / 2], [0, 70.0, h / 2], [0, 0, 1]], np.float32
+    )[None]
+    # vehicle_T_camera for an RDF camera: 1.2 m up, slight yaw offset
+    E = (np.array(
+        [[0.998, -0.06, 0, 0.5],
+         [0.06, 0.998, 0, 0.1],
+         [0, 0, 1, 1.2],
+         [0, 0, 0, 1]], np.float32) @ rdf_T_flu()).astype(np.float32)[None]
+    Ts = np.asarray(
+        unicycle_now_T_prev(
+            np.array([4.0, 2.0], np.float32),
+            np.array([0.05, -0.02], np.float32),
+            0.35,
+        ),
+        np.float32,
+    )[None]
+
+    rmodel = ref_pc = PCTransformModel({"model": {}})
+    with torch.no_grad():
+        ref_out = ref_pc.predict(
+            {
+                "intrinsics": torch.from_numpy(K),
+                "extrinsics": torch.from_numpy(E),
+                "depth": torch.from_numpy(depth),
+                "depth_mask": torch.from_numpy(mask),
+                "target_T": torch.from_numpy(Ts),
+                "seg": torch.from_numpy(seg),
+            },
+            None,
+        )
+
+    import jax.numpy as jnp
+
+    mine = pc_transform_predict(
+        jnp.asarray(seg.astype(np.int32)),
+        jnp.asarray(depth),
+        jnp.asarray(mask),
+        jnp.asarray(K),
+        jnp.asarray(E),
+        jnp.asarray(Ts),
+        height=h,
+        width=w,
+        method="packed",
+    )
+    ref_seg = ref_out["seg"][0].numpy()
+    my_seg = np.asarray(mine["seg"][0])
+    mismatch = (my_seg != ref_seg).sum()
+    assert mismatch == 0, f"{mismatch} label pixels differ"
+    # Depths: compare where a valid point won (the reference's empty-pixel
+    # sentinel is max-over-all+1, ours is max-over-valid+1 — both above
+    # every valid depth, values differ only on invalid-only pixels).
+    ref_d = ref_out["depth"][0].numpy()
+    my_d = np.asarray(mine["depth"][0])
+    valid_px = (ref_d > 0) & (ref_d <= depth.max() + 0.5)
+    # The packed path truncates the forecast depth's 8 low mantissa bits
+    # (<= 255/2^23 ~ 3.04e-5 relative — far below the 1/256 m export PNG
+    # quantization).
+    np.testing.assert_allclose(
+        my_d[valid_px], ref_d[valid_px], rtol=3.1e-5, atol=1e-5
+    )
+    assert valid_px.mean() > 0.3  # the comparison actually covers pixels
