@@ -21,10 +21,19 @@ def seed_everything(seed: int) -> None:
 
 
 def maybe_force_platform(cfg) -> None:
-    if cfg.get("platform"):
-        import jax
+    import jax
 
+    if cfg.get("platform"):
         jax.config.update("jax_platforms", cfg["platform"])
+    # Persistent compilation cache for every CLI run. Crucial on tunneled
+    # TPU attachments where each first-time compile — including the
+    # hundreds of eager micro-ops from model/optimizer init — costs a
+    # ~0.5 s HTTP round trip; with the cache a repeat run skips them all.
+    cache_dir = cfg.get("compilation_cache_dir", "/tmp/pf_tpu_jax_cache")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def setup(argv=None, test: bool = False) -> Tuple[Config, Any, Any]:

@@ -83,11 +83,13 @@ def train(model, task_data, cfg: Dict[str, Any], writers=None,
     # ---- init / resume ----------------------------------------------------
     rng = jax.random.PRNGKey(seed)
     example = next(iter(task_data.loader("train", cfg, seed=seed)))
-    variables = model.init(rng, example)
+    # One jitted init: eagerly, every per-layer RNG/zeros op compiles
+    # separately — ~0.5 s each over a tunneled TPU attachment.
+    variables = jax.jit(lambda r: model.init(r, example))(rng)
     if cfg.get("load_model"):
         variables = ckpt.load_model(cfg["load_model"], like=variables)
     params, mstate = split_variables(variables)
-    opt_state = opt.init(params)
+    opt_state = jax.jit(opt.init)(params)
 
     start_epoch, best_val_epoch, best_val_result, step = 1, -1, 1e7, 0
     if cfg.get("continue_training") and ckpt.has_trainer_state(working_dir):
@@ -152,17 +154,28 @@ def train(model, task_data, cfg: Dict[str, Any], writers=None,
         lambda p: jax.tree_util.tree_map(jnp.zeros_like, p)
     )
 
+    # Metric sums accumulate ON DEVICE across an epoch and are fetched
+    # once at the end: a per-batch device_get is a full sync barrier — on
+    # a tunneled TPU attachment each round trip costs ~0.4 s, and without
+    # it the whole epoch's dispatches pipeline asynchronously.
+    acc_sums = jax.jit(
+        lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+    )
+
+    def _finish(acc) -> Dict[str, float]:
+        if acc is None:
+            return {}
+        sums, n = jax.device_get(acc)
+        n = float(max(n, 1.0))
+        return {k: float(v) / n for k, v in sums.items()}
+
     def run_val(params, mstate) -> Dict[str, float]:
-        counters: Dict[str, float] = {}
-        n = 0.0
+        acc = None
         for batch in val_loader:
             batch = shard_batch(mesh, _strip_meta(batch))
-            sums, count = eval_step(params, mstate, batch)
-            sums = jax.device_get(sums)
-            n += float(count)
-            for k, v in sums.items():
-                counters[k] = counters.get(k, 0.0) + float(v)
-        return {k: v / max(n, 1.0) for k, v in counters.items()}
+            out = eval_step(params, mstate, batch)
+            acc = out if acc is None else acc_sums(acc, out)
+        return _finish(acc)
 
     # ---- optional profiling (reference has none, SURVEY §5.1; here a
     # first-class switch: training.profile_dir captures a jax.profiler
@@ -182,8 +195,7 @@ def train(model, task_data, cfg: Dict[str, Any], writers=None,
         # torch schedulers step at epoch end → epoch e runs at sched(e-1).
         opt_state = set_lr(opt_state, lr_sched(epoch - 1))
 
-        counters: Dict[str, float] = {}
-        n_samples = 0.0
+        acc = None
         micro = 0
         if accum > 1:
             grad_acc = zeros_like_grads(params)
@@ -210,19 +222,18 @@ def train(model, task_data, cfg: Dict[str, Any], writers=None,
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"profiler trace written to {profile_dir}")
-            sums = jax.device_get(sums)
-            n_samples += float(count)
-            for k, v in sums.items():
-                counters[k] = counters.get(k, 0.0) + float(v)
-            if verbose:
-                print(f"\tBATCH {batch_ind + 1}: {float(sums['loss']) / max(float(count), 1):.6f}")
+            acc = (
+                (sums, count) if acc is None else acc_sums(acc, (sums, count))
+            )
+            if verbose:  # forces a per-batch sync; debug only
+                print(f"\tBATCH {batch_ind + 1}: {float(jax.device_get(sums['loss'])) / max(float(count), 1):.6f}")
 
         if profiling:  # epoch shorter than profile_steps
             jax.block_until_ready(params)
             jax.profiler.stop_trace()
             profiling = False
             print(f"profiler trace written to {profile_dir}")
-        train_scalars = {k: v / max(n_samples, 1.0) for k, v in counters.items()}
+        train_scalars = _finish(acc)
         if train_writer is not None:
             train_writer.add_scalars(train_scalars, epoch)
 
