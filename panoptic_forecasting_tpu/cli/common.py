@@ -104,3 +104,31 @@ def restore_params(cfg, model, task_data, example_batch=None):
     if os.path.isdir(latest):
         return ckpt.load_model(latest, like=params)
     return params
+
+
+def pipelined_map(fn, iterable, depth: int = 2):
+    """Yield ``(fn(item), item)`` in order, computing the next item's ``fn``
+    on a background thread while the caller consumes the current result.
+
+    Export loops alternate device prediction with host PNG/h5 writing;
+    running them lock-step serializes the two (and on a tunneled TPU
+    attachment every device sync is a slow round trip). One worker thread
+    keeps the device busy exactly one batch ahead. Exceptions propagate
+    at the corresponding yield.
+    """
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        pending = deque()
+        for item in iterable:
+            pending.append((ex.submit(fn, item), item))
+            while len(pending) >= depth:
+                fut, it0 = pending.popleft()
+                yield fut.result(), it0
+        while pending:
+            fut, it0 = pending.popleft()
+            yield fut.result(), it0
+    finally:
+        ex.shutdown(wait=True)

@@ -73,13 +73,14 @@ def shard_batch(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
     sharded = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    def put(x):
-        x = np.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % n == 0:
-            return jax.device_put(x, sharded)
-        return jax.device_put(x, repl)
-
-    return jax.tree_util.tree_map(put, batch)
+    batch = jax.tree_util.tree_map(np.asarray, batch)
+    shardings = jax.tree_util.tree_map(
+        lambda x: sharded if (x.ndim >= 1 and x.shape[0] % n == 0) else repl,
+        batch,
+    )
+    # One device_put over the whole tree: transfers issue together
+    # (per-leaf calls serialize round trips on tunneled attachments).
+    return jax.device_put(batch, shardings)
 
 
 def is_main_process() -> bool:
