@@ -35,7 +35,9 @@ import numpy as np
 H, W, T_IN = 1024, 2048, 3
 N_INST, T_OUT = 8, 3
 INTR = (2262.52, 2265.30, 1096.98, 513.137)
-K = 10
+# 20 iterations per timed call: the tunneled attachment adds ~23 ms of
+# fixed dispatch+readback per call, so small K overstates stage times.
+K = 20
 
 
 # ---------------------------------------------------------------------------
