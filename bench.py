@@ -183,6 +183,101 @@ def measure_tpu_stages(k: int = K) -> dict:
     return results
 
 
+def measure_fused(k: int = K) -> float:
+    """ms/frame for the single-jit fused forecast (eval/forecast.py):
+    per-frame pc reprojection -> one-hot+HarDNet -> FG rollout -> in-graph
+    fusion, one XLA program, zero host hops."""
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from panoptic_forecasting_tpu.eval.forecast import build_forecast_step
+    from panoptic_forecasting_tpu.geometry import (
+        rdf_T_flu,
+        unicycle_now_T_prev,
+    )
+    from panoptic_forecasting_tpu.models.base import merge_variables
+    from panoptic_forecasting_tpu.models.bg import BGModel
+
+    rng = np.random.RandomState(0)
+    _, fg_model, fg_params, fg_state, batch = ge._build_fg(batch_size=8)
+    fg_vars = merge_variables(fg_params, fg_state)
+    inp = batch["inputs"]
+    n = np.asarray(inp["trajectories"]).shape[0]
+    fg_in = {k2: np.asarray(v)[None] for k2, v in inp.items()}
+    fg_in["output_inds"] = np.asarray(batch["labels"]["output_inds"])[None]
+    fg_in["valid"] = np.ones((1, n), bool)
+    out_t = int(np.asarray(batch["labels"]["trajectories"]).shape[1])
+
+    seg = rng.randint(0, 11, size=(1, T_IN, H, W)).astype(np.int32)
+    depth = (rng.rand(1, T_IN, H, W) * 50 + 2).astype(np.float32)
+    K_m = np.array(
+        [[INTR[0], 0, INTR[2]], [0, INTR[1], INTR[3]], [0, 0, 1]],
+        np.float32,
+    )
+    E = (np.array(
+        [[1, 0, 0, 0.3], [0, 1, 0, 0.0], [0, 0, 1, 1.2], [0, 0, 0, 1]],
+        np.float32) @ rdf_T_flu()).astype(np.float32)
+    Ts = np.asarray(
+        unicycle_now_T_prev(
+            np.array([8.0, 8.2, 8.4], np.float32),
+            np.array([0.01, 0.0, -0.01], np.float32),
+            0.18,
+        ),
+        np.float32,
+    )
+    pc_in = {
+        "seg": jnp.asarray(seg),
+        "depth": jnp.asarray(depth),
+        "depth_mask": jnp.asarray(np.ones_like(depth, bool)),
+        "intrinsics": jnp.asarray(K_m[None]),
+        "extrinsics": jnp.asarray(E[None]),
+        "target_T": jnp.asarray(Ts[None]),
+    }
+    bg_model = BGModel(
+        {
+            "model": {
+                "num_inputs": T_IN,
+                "convert2onehot": True,
+                "use_depth_inps": True,
+            },
+            "data": {"num_classes": 11},
+        }
+    )
+    bg_vars = jax.jit(
+        lambda r: bg_model.init(
+            r,
+            {
+                "inputs": {
+                    "seg": jnp.zeros((1, T_IN, 64, 128), jnp.int32),
+                    "depth": jnp.zeros((1, T_IN, 64, 128)),
+                    "depth_mask": jnp.zeros((1, T_IN, 64, 128), bool),
+                }
+            },
+        )
+    )(jax.random.PRNGKey(1))
+    step = build_forecast_step(
+        bg_model, fg_model, height=H, width=W, out_t=out_t
+    )
+    fg_in = {k2: jnp.asarray(v) for k2, v in fg_in.items()}
+
+    @jax.jit
+    def loop(depth, salt):
+        def body(c, i):
+            out = step(
+                bg_vars, fg_vars,
+                dict(pc_in, depth=depth + 0.001 * (i + salt)), fg_in,
+            )
+            return c + out["panoptic"].ravel()[::65536].astype(
+                jnp.float32
+            ).sum(), ()
+        return jax.lax.scan(
+            body, jnp.float32(0), jnp.arange(k, dtype=jnp.float32)
+        )[0]
+
+    return _timed(loop, (jnp.asarray(depth),), k) * 1e3
+
+
 # ---------------------------------------------------------------------------
 # Baseline: the reference's own code, CPU torch
 # ---------------------------------------------------------------------------
@@ -404,6 +499,13 @@ def main() -> None:
             for s in ("pc_ms", "bg_ms", "fg_ms", "fusion_ms")
         },
     }
+    try:
+        fused_ms = measure_fused()
+        record["fused_ms"] = round(fused_ms, 3)
+        record["fused_fps"] = round(1000.0 / fused_ms, 3)
+    except Exception as exc:  # pragma: no cover
+        record["fused_ms"] = -1.0
+        record["fused_error"] = repr(exc)[:200]
     try:
         base = measure_reference_cpu()
         record["vs_baseline"] = round(tpu["e2e_fps"] / base["e2e_fps"], 2)

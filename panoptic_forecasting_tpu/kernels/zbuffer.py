@@ -78,6 +78,12 @@ def _zbuffer_sort(pix: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
     return canvas_label, canvas_depth
 
 
+def _shift_last(c: jnp.ndarray, off: int, fill) -> jnp.ndarray:
+    """Shift right by ``off`` along the last axis, filling with ``fill``."""
+    pad = [(0, 0)] * (c.ndim - 1) + [(off, 0)]
+    return jnp.pad(c, pad, constant_values=fill)[..., :-off]
+
+
 def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
                     height: int, width: int, placement: str = "scatter"):
     """Single-sort packed z-buffer — the fast TPU path.
@@ -104,17 +110,32 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
 
     Ties in truncated depth resolve to the smallest label (deterministic;
     the reference's CUDA scatter_min is nondeterministic on ties).
+
+    Inputs may carry ONE leading batch dim (uv (B, N, 2), depth/label
+    (B, N)): batch b's groups are offset by b·4·H·W, so the concatenation
+    of the per-batch streams sorts ONCE and places ONCE into a (B·4·P)
+    canvas — a vmapped sort lowers to XLA's far slower batched sort, and
+    a vmapped Pallas placement pays the step machinery per element.
+    Requires B·4·H·W < 2^31 (B ≤ 255 at Cityscapes full res).
     """
     num_pixels = height * width
     EMPTY = jnp.int32(0x7FFFFFFF)
+    batched = uv.ndim == 3
+    if not batched:
+        uv, depth, label = uv[None], depth[None], label[None]
+    b = uv.shape[0]
+    if b * 4 * num_pixels >= 2**31:
+        raise ValueError(
+            f"batch {b} x canvas {num_pixels} overflows int32 group space"
+        )
 
     dbits = _depth_sort_bits(depth)
     key = (dbits & jnp.int32(~0xFF)) | (label.astype(jnp.int32) & 0xFF)
 
-    uf = jnp.floor(uv[:, 0])
-    vf = jnp.floor(uv[:, 1])
-    gu = (jnp.ceil(uv[:, 0]) != uf).astype(jnp.int32)  # ceil−floor gap ∈ {0,1}
-    gv = (jnp.ceil(uv[:, 1]) != vf).astype(jnp.int32)
+    uf = jnp.floor(uv[..., 0])
+    vf = jnp.floor(uv[..., 1])
+    gu = (jnp.ceil(uv[..., 0]) != uf).astype(jnp.int32)  # ceil−floor ∈ {0,1}
+    gv = (jnp.ceil(uv[..., 1]) != vf).astype(jnp.int32)
     ui = uf.astype(jnp.int32)
     vi = vf.astype(jnp.int32)
     cu0 = jnp.clip(ui, 0, width - 1)
@@ -125,14 +146,19 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
     # out-of-bounds points.
     fu = jnp.clip(ui + gu, 0, width - 1) - cu0
     fv = jnp.clip(vi + gv, 0, height - 1) - cv0
-    # One fused sort operand: group = (corner, pixel), corner in the HIGH
-    # bits so each corner's canvas is a contiguous plane of the scattered
-    # buffer (a stride-4 interleave made the fold reads ~10x slower).
-    # 4·H·W < 2^31 for Cityscapes-scale canvases. 2-operand sort moves 1/3
-    # less data than the previous (base, frac, key) 3-operand sort.
+    # One fused sort operand: group = (batch, corner, pixel), corner in
+    # the high bits of each batch block so every corner canvas is a
+    # contiguous plane of the scattered buffer (a stride-4 interleave made
+    # the fold reads ~10x slower). 2-operand sort moves 1/3 less data than
+    # the previous (base, frac, key) 3-operand sort.
     group = (fv * 2 + fu) * num_pixels + (cv0 * width + cu0)
+    group = group + (
+        jnp.arange(b, dtype=jnp.int32) * (4 * num_pixels)
+    )[:, None]
 
-    group_s, key_s = jax.lax.sort((group, key), num_keys=2)
+    group_s, key_s = jax.lax.sort(
+        (group.reshape(-1), key.reshape(-1)), num_keys=2
+    )
 
     if placement.startswith("pallas"):
         # Streaming Pallas placement (kernels/placement.py): ~4-8x faster
@@ -147,27 +173,24 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
         canvas4 = place_sorted(
             group_s,
             key_s,
-            num_groups=num_pixels * 4,
+            num_groups=b * num_pixels * 4,
             interpret=interp,
             **sizes,
         )
     else:
         # Within a group the packed keys are ascending, so each group's
-        # FIRST element is its min: scatter run starts into the (4*P,)
+        # FIRST element is its min: scatter run starts into the (B·4·P)
         # canvas (losers target an out-of-range slot and are dropped).
         group_start = jnp.concatenate(
             [jnp.ones((1,), jnp.bool_), group_s[1:] != group_s[:-1]]
         )
-        tgt = jnp.where(group_start, group_s, num_pixels * 4)
-        canvas4 = jnp.full((num_pixels * 4,), EMPTY, jnp.int32)
+        tgt = jnp.where(group_start, group_s, b * num_pixels * 4)
+        canvas4 = jnp.full((b * num_pixels * 4,), EMPTY, jnp.int32)
         canvas4 = canvas4.at[tgt].set(
             key_s, mode="drop", unique_indices=True
         )
-    g = canvas4.reshape(4, num_pixels)
-    g0, g1, g2, g3 = g[0], g[1], g[2], g[3]
-
-    def shift(c, off):
-        return jnp.concatenate([jnp.full((off,), EMPTY, jnp.int32), c[:-off]])
+    g = canvas4.reshape(b, 4, num_pixels)
+    g0, g1, g2, g3 = g[:, 0], g[:, 1], g[:, 2], g[:, 3]
 
     m00 = jnp.minimum(jnp.minimum(g0, g1), jnp.minimum(g2, g3))
     m10 = jnp.minimum(g1, g3)  # points whose ceil-u corner is base+1
@@ -176,8 +199,11 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
     # fu=1 never occurs in the last column and fv=1 never in the last row
     # (clamped offsets), so flat shifts cannot bleed across rows.
     canvas = jnp.minimum(
-        jnp.minimum(m00, shift(m10, 1)),
-        jnp.minimum(shift(m01, width), shift(m11, width + 1)),
+        jnp.minimum(m00, _shift_last(m10, 1, EMPTY)),
+        jnp.minimum(
+            _shift_last(m01, width, EMPTY),
+            _shift_last(m11, width + 1, EMPTY),
+        ),
     )
 
     touched = canvas != EMPTY
@@ -187,10 +213,11 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
         canvas & jnp.int32(~0xFF), jnp.float32
     )
     out_depth = jnp.where(touched, out_depth, -1.0)
-    return (
-        out_label.reshape(height, width),
-        out_depth.reshape(height, width),
-    )
+    out_label = out_label.reshape(b, height, width)
+    out_depth = out_depth.reshape(b, height, width)
+    if not batched:
+        return out_label[0], out_depth[0]
+    return out_label, out_depth
 
 
 def _zbuffer_scatter(pix: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
@@ -228,38 +255,59 @@ def zbuffer_splat(uv, depth, label, valid, *, height: int, width: int,
     Returns:
       (label_canvas (..., H, W[, C]), depth_canvas (..., H, W)).
 
-    Leading batch dims are vmapped. Reference: pc_transform_model.py:100-150.
+    Leading batch dims run through ONE sort + placement on the packed
+    paths (per-batch group offsets, see _zbuffer_packed); other methods
+    are vmapped. Reference: pc_transform_model.py:100-150.
     """
-    if uv.ndim > 2:
-        fn = functools.partial(
-            zbuffer_splat, height=height, width=width, method=method
-        )
-        return jax.vmap(fn)(uv, depth, label, valid)
-
-    n = depth.shape[0]
-    # Invalid points: sentinel depth above every valid depth, label zeroed.
-    sentinel = jnp.max(jnp.where(valid, depth, -jnp.inf))
-    sentinel = jnp.where(jnp.isfinite(sentinel), sentinel, 0.0) + 1.0
-    depth = jnp.where(valid, depth, sentinel).astype(jnp.float32)
-    label = jnp.where(
-        valid if label.ndim == 1 else valid[:, None],
-        label,
-        jnp.zeros((), label.dtype),
-    )
-
+    scalar_label = label.ndim == uv.ndim - 1
     if method == "auto":
-        if label.ndim == 1:
+        if scalar_label:
             # Pallas placement on TPU; XLA scatter placement elsewhere.
             on_tpu = jax.default_backend() == "tpu"
             method = "pallas" if on_tpu else "packed"
         else:
             method = "sort"
-    if method in ("packed", "pallas", "pallas_interpret"):
-        if label.ndim != 1:
+
+    packed_family = method in ("packed", "pallas", "pallas_interpret")
+    if uv.ndim > 2 and not packed_family:
+        fn = functools.partial(
+            zbuffer_splat, height=height, width=width, method=method
+        )
+        return jax.vmap(fn)(uv, depth, label, valid)
+
+    # Invalid points: per-batch sentinel depth above every valid depth,
+    # label zeroed (pc_transform_model.py:104-106 semantics).
+    sentinel = jnp.max(
+        jnp.where(valid, depth, -jnp.inf), axis=-1, keepdims=True
+    )
+    sentinel = jnp.where(jnp.isfinite(sentinel), sentinel, 0.0) + 1.0
+    depth = jnp.where(valid, depth, sentinel).astype(jnp.float32)
+    label = jnp.where(
+        valid if scalar_label else valid[..., None],
+        label,
+        jnp.zeros((), label.dtype),
+    )
+
+    if packed_family:
+        if not scalar_label:
             raise ValueError("packed z-buffer supports scalar labels only")
         placement = "scatter" if method == "packed" else method
+        if uv.ndim > 3:  # collapse extra leading dims to one batch axis
+            lead = uv.shape[:-2]
+            lab, dep = _zbuffer_packed(
+                uv.reshape((-1,) + uv.shape[-2:]),
+                depth.reshape(-1, depth.shape[-1]),
+                label.reshape(-1, label.shape[-1]),
+                height, width, placement=placement,
+            )
+            return (
+                lab.reshape(lead + (height, width)),
+                dep.reshape(lead + (height, width)),
+            )
         return _zbuffer_packed(uv, depth, label, height, width,
                                placement=placement)
+
+    n = depth.shape[0]
 
     pix = splat_four_neighbors(uv, height, width)  # (4N,)
     depth4 = jnp.tile(depth, 4)

@@ -71,7 +71,7 @@ def pc_transform_predict(seg, depth, depth_mask, K, extrinsics, target_T,
     """Batched reprojection. seg (B,T,H,W[,3]), depth/depth_mask (B,T,H,W),
     K (B,3,3), extrinsics (B,4,4), target_T (B,T,4,4)."""
 
-    def one(seg, depth, depth_mask, K, extrinsics, target_T):
+    def project_one(depth, depth_mask, K, extrinsics, target_T):
         uv, z = _reproject_points(depth, K, extrinsics, target_T, height, width)
         valid = (
             depth_mask.astype(bool)
@@ -81,19 +81,26 @@ def pc_transform_predict(seg, depth, depth_mask, K, extrinsics, target_T,
             & (uv[..., 1] >= 0)
             & (uv[..., 1] < height)
         )
-        n = uv.shape[0] * height * width
-        lab = seg.reshape((n,) + seg.shape[3:])
-        return zbuffer_splat(
-            uv.reshape(n, 2),
-            z.reshape(n),
-            lab,
-            valid.reshape(n),
-            height=height,
-            width=width,
-            method=method,
-        )
+        return uv, z, valid
 
-    lab, dep = jax.vmap(one)(seg, depth, depth_mask, K, extrinsics, target_T)
+    # vmap only the (elementwise) projection; the splat handles the batch
+    # natively with per-batch group offsets — one sort + one placement for
+    # the whole batch (a vmapped sort lowers to XLA's much slower batched
+    # sort).
+    uv, z, valid = jax.vmap(project_one)(
+        depth, depth_mask, K, extrinsics, target_T
+    )
+    b = depth.shape[0]
+    n = depth.shape[1] * height * width
+    lab, dep = zbuffer_splat(
+        uv.reshape(b, n, 2),
+        z.reshape(b, n),
+        seg.reshape((b, n) + seg.shape[4:]),
+        valid.reshape(b, n),
+        height=height,
+        width=width,
+        method=method,
+    )
     return {"seg": lab, "depth": dep}
 
 
