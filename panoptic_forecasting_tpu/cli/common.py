@@ -107,14 +107,13 @@ def restore_params(cfg, model, task_data, example_batch=None):
 
 
 def pipelined_map(fn, iterable, depth: int = 2):
-    """Yield ``(fn(item), item)`` in order, computing the next item's ``fn``
-    on a background thread while the caller consumes the current result.
+    """Yield ``(fn(item), item)`` in order, computing the next item's
+    ``fn`` on a background thread.
 
-    Export loops alternate device prediction with host PNG/h5 writing;
-    running them lock-step serializes the two (and on a tunneled TPU
-    attachment every device sync is a slow round trip). One worker thread
-    keeps the device busy exactly one batch ahead. Exceptions propagate
-    at the corresponding yield.
+    NOT used by the exporters: dispatching JAX computations from a
+    worker thread while the main thread fetches results deadlocks the
+    tunneled TPU attachment (observed: export hangs with ~0 CPU). Kept
+    for host-only pipelines (pure IO/decode overlap).
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor

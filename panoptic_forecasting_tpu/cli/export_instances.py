@@ -23,7 +23,7 @@ from ..data.cityscapes import TRAIN_ID_TO_ID
 from ..data.io import save_png
 from ..eval import fusion
 from ..train.loop import _strip_meta
-from .common import pipelined_map, restore_params, setup
+from .common import restore_params, setup
 
 
 def export_split(model, params, task_data, split, cfg) -> str:
@@ -34,10 +34,8 @@ def export_split(model, params, task_data, split, cfg) -> str:
 
     entries = defaultdict(lambda: defaultdict(list))  # name -> cl -> scores
     loader = task_data.loader(split, cfg, test=True)
-    for preds, batch in pipelined_map(
-        lambda b: fusion.predict_instances(model, params, _strip_meta(b)),
-        loader,
-    ):
+    for batch in loader:
+        preds = fusion.predict_instances(model, params, _strip_meta(batch))
         meta = batch["meta"]
         for i, insts in enumerate(preds["instances"]):
             city = meta["city"][i]

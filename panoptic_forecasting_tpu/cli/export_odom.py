@@ -19,7 +19,7 @@ import jax
 import numpy as np
 
 from ..train.loop import _strip_meta
-from .common import pipelined_map, restore_params, setup
+from .common import restore_params, setup
 
 
 def export_split(model, params, task_data, split, cfg) -> str:
@@ -29,9 +29,8 @@ def export_split(model, params, task_data, split, cfg) -> str:
     loader = task_data.loader(split, cfg, test=True)
     predict = jax.jit(model.predict)
     with h5py.File(out_file, "w") as fout:
-        for preds, batch in pipelined_map(
-            lambda b: predict(params, _strip_meta(b)), loader
-        ):
+        for batch in loader:
+            preds = predict(params, _strip_meta(batch))
             odom = np.asarray(preds["odometry"])
             meta = batch["meta"]
             for i in range(len(odom)):

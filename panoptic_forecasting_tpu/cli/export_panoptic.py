@@ -30,7 +30,7 @@ from ..eval.panoptic_protocol import (
     write_panoptic_png,
 )
 from ..train.loop import _strip_meta
-from .common import pipelined_map, restore_params, setup
+from .common import restore_params, setup
 
 
 def export_split(model, params, task_data, split, cfg) -> str:
@@ -45,10 +45,8 @@ def export_split(model, params, task_data, split, cfg) -> str:
     annotations = []
     exported = set()
     loader = task_data.loader(split, cfg, test=True)
-    for preds, batch in pipelined_map(
-        lambda b: fusion.predict_panoptic(model, params, _strip_meta(b)),
-        loader,
-    ):
+    for batch in loader:
+        preds = fusion.predict_panoptic(model, params, _strip_meta(batch))
         segs = np.asarray(preds["seg"])
         meta = batch["meta"]
         for i in range(len(segs)):

@@ -22,7 +22,7 @@ import numpy as np
 from ..data.cityscapes import train_id_color_palette, train_id_to_id_lut
 from ..data.io import encode_depth_png, encode_disparity_from_depth, save_png
 from ..train.loop import _strip_meta
-from .common import pipelined_map, restore_params, setup
+from .common import restore_params, setup
 
 
 def export_split(model, params, task_data, split, cfg) -> str:
@@ -56,9 +56,8 @@ def export_split(model, params, task_data, split, cfg) -> str:
     palette = train_id_color_palette()
 
     loader = task_data.loader(split, cfg, test=True)
-    for preds, batch in pipelined_map(
-        lambda b: model.predict(params, _strip_meta(b)), loader
-    ):
+    for batch in loader:
+        preds = model.predict(params, _strip_meta(batch))
         segs = np.asarray(preds["seg"])
         depths = np.asarray(preds["depth"]) if "depth" in preds else None
         meta = batch["meta"]
