@@ -188,6 +188,9 @@ def measure_fused(k: int = K) -> float:
     per-frame pc reprojection -> one-hot+HarDNet -> FG rollout -> in-graph
     fusion, one XLA program, zero host hops."""
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pf_tpu_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     import __graft_entry__ as ge
@@ -488,8 +491,54 @@ def _measure_reference_cpu() -> dict:
     return results
 
 
+def _run_tpu_subprocess(mode: str, timeout: int = 360, retries: int = 1):
+    """Run a TPU measurement in a subprocess with a timeout.
+
+    The tunneled attachment occasionally hangs a fresh process's first
+    device call (especially right after another TPU process exited); a
+    subprocess + timeout + cooldown-retry keeps one stall from taking the
+    whole benchmark down. Returns the subprocess's last stdout line, or
+    None.
+    """
+    import subprocess
+
+    for attempt in range(retries + 1):
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, mode],
+                capture_output=True, text=True, timeout=timeout,
+            )
+            lines = r.stdout.strip().splitlines()
+            if r.returncode == 0 and lines:
+                return lines[-1]
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(15)  # let the chip/tunnel settle before retrying
+    return None
+
+
 def main() -> None:
-    tpu = measure_tpu_stages()
+    line = _run_tpu_subprocess("--stages-only")
+    if line is None:
+        print(json.dumps({
+            "metric": "e2e_forecast_fps", "value": -1.0,
+            "unit": "frames/sec",
+            "vs_baseline": -1.0,
+            "error": "TPU stage measurement timed out twice "
+                     "(tunnel stall; see bench.py _run_tpu_subprocess)",
+        }))
+        return
+    tpu = json.loads(line)
+
+    fused = {"fused_ms": -1.0}
+    fline = _run_tpu_subprocess("--fused-only")
+    if fline is not None:
+        fused_ms = float(fline)
+        fused = {
+            "fused_ms": round(fused_ms, 3),
+            "fused_fps": round(1000.0 / fused_ms, 3),
+        }
+
     record = {
         "metric": "e2e_forecast_fps",
         "value": round(tpu["e2e_fps"], 3),
@@ -498,14 +547,8 @@ def main() -> None:
             s: round(tpu[s], 3)
             for s in ("pc_ms", "bg_ms", "fg_ms", "fusion_ms")
         },
+        **fused,
     }
-    try:
-        fused_ms = measure_fused()
-        record["fused_ms"] = round(fused_ms, 3)
-        record["fused_fps"] = round(1000.0 / fused_ms, 3)
-    except Exception as exc:  # pragma: no cover
-        record["fused_ms"] = -1.0
-        record["fused_error"] = repr(exc)[:200]
     try:
         base = measure_reference_cpu()
         record["vs_baseline"] = round(tpu["e2e_fps"] / base["e2e_fps"], 2)
@@ -526,4 +569,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--fused-only" in sys.argv:
+        print(measure_fused())
+    elif "--stages-only" in sys.argv:
+        print(json.dumps(measure_tpu_stages()))
+    else:
+        main()
