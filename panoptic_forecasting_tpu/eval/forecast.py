@@ -25,7 +25,6 @@ panoptic export); here the chain is one XLA program.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict
 
 import jax
