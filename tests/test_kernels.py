@@ -162,6 +162,33 @@ def test_zbuffer_batched():
     assert int(ll[0, 1, 1]) == 4 and int(ll[1, 1, 1]) == 9
 
 
+@pytest.mark.parametrize("method", ["packed", "pallas_interpret"])
+def test_zbuffer_batched_matches_per_sample(method):
+    """The packed path handles batches with per-batch group offsets in ONE
+    sort + placement; each element must equal its standalone splat (no
+    cross-batch bleed, per-batch sentinel depths)."""
+    rng = np.random.RandomState(3)
+    h, w, b, n = 7, 9, 3, 60
+    uv = rng.rand(b, n, 2) * [w + 2, h + 2] - 1
+    depth = rng.rand(b, n) * (10 ** rng.randint(0, 3, (b, 1))) + 0.5
+    label = rng.randint(1, 12, size=(b, n)).astype(np.int32)
+    valid = rng.rand(b, n) > 0.3
+    lb, db = zbuffer_splat(
+        jnp.asarray(uv, jnp.float32), jnp.asarray(depth, jnp.float32),
+        jnp.asarray(label), jnp.asarray(valid),
+        height=h, width=w, method=method,
+    )
+    for i in range(b):
+        ls, ds = zbuffer_splat(
+            jnp.asarray(uv[i], jnp.float32),
+            jnp.asarray(depth[i], jnp.float32),
+            jnp.asarray(label[i]), jnp.asarray(valid[i]),
+            height=h, width=w, method=method,
+        )
+        np.testing.assert_array_equal(np.asarray(lb[i]), np.asarray(ls))
+        np.testing.assert_array_equal(np.asarray(db[i]), np.asarray(ds))
+
+
 def test_zbuffer_rgb_payload():
     uv = jnp.array([[1.0, 1.0], [1.0, 1.0]])
     depth = jnp.array([5.0, 2.0])
