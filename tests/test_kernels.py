@@ -266,3 +266,37 @@ def test_composite_invalid_padding_slots_ignored():
         jnp.zeros((h, w), jnp.int32), jnp.full((h, w), 1e9), img_h=h, img_w=w
     )
     assert int(lab[5, 5]) == 100
+
+
+def test_place_sorted_chunklist_bound_property():
+    """The static chunk-list capacity maxchunks = n_super + nblocks must
+    bound sum(counts) for ANY sorted stream (overflow would silently drop
+    placements). Property-checked over adversarial distributions."""
+    rng = np.random.RandomState(11)
+    block, sw = 512, 1024
+    for trial in range(200):
+        num_groups = int(rng.randint(1, 6)) * sw
+        n = int(rng.randint(1, 5000))
+        style = trial % 4
+        if style == 0:  # uniform
+            g = rng.randint(0, num_groups, n)
+        elif style == 1:  # heavy pile at one group
+            g = np.full(n, rng.randint(0, num_groups))
+        elif style == 2:  # clustered at supertile boundaries
+            bases = (rng.randint(0, num_groups // sw, n // 2 + 1) * sw)
+            g = np.concatenate([bases, bases + sw - 1])[:n]
+        else:  # sparse tail
+            g = rng.randint(num_groups - 10, num_groups, n)
+        g = np.sort(g.astype(np.int64))
+        npad = (-n) % block + block
+        gp = np.concatenate([g, np.full(npad, 2**31 - 1, np.int64)])
+        nblocks = len(gp) // block
+        n_super = num_groups // sw
+        offs = np.searchsorted(gp, np.arange(n_super + 1) * sw)
+        blk0 = offs[:-1] // block
+        blk1 = np.where(offs[1:] > offs[:-1], (offs[1:] - 1) // block, blk0)
+        counts = blk1 - blk0 + 1
+        assert (counts >= 1).all()
+        assert counts.sum() <= n_super + nblocks, (
+            trial, counts.sum(), n_super + nblocks
+        )
