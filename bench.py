@@ -491,7 +491,7 @@ def _measure_reference_cpu() -> dict:
     return results
 
 
-def _run_tpu_subprocess(mode: str, timeout: int = 360, retries: int = 1):
+def _run_tpu_subprocess(mode: str, timeout: int = 300, retries: int = 1):
     """Run a TPU measurement in a subprocess with a timeout.
 
     The tunneled attachment occasionally hangs a fresh process's first
@@ -531,7 +531,9 @@ def main() -> None:
     tpu = json.loads(line)
 
     fused = {"fused_ms": -1.0}
-    fline = _run_tpu_subprocess("--fused-only")
+    # Strictly best-effort: the fused program is large and the tunnel
+    # flaky under load; never let it eat the benchmark budget.
+    fline = _run_tpu_subprocess("--fused-only", timeout=240, retries=0)
     if fline is not None:
         fused_ms = float(fline)
         fused = {
