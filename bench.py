@@ -264,8 +264,11 @@ def measure_fused(k: int = K) -> float:
     )
     fg_in = {k2: jnp.asarray(v) for k2, v in fg_in.items()}
 
+    # Everything is a real argument, not a closure: multi-MB constants
+    # embedded in the HLO blow up compile time and appear to defeat the
+    # persistent compile cache.
     @jax.jit
-    def loop(depth, salt):
+    def loop(bg_vars, fg_vars, pc_in, fg_in, depth, salt):
         def body(c, i):
             out = step(
                 bg_vars, fg_vars,
@@ -278,7 +281,9 @@ def measure_fused(k: int = K) -> float:
             body, jnp.float32(0), jnp.arange(k, dtype=jnp.float32)
         )[0]
 
-    return _timed(loop, (jnp.asarray(depth),), k) * 1e3
+    return _timed(
+        loop, (bg_vars, fg_vars, pc_in, fg_in, jnp.asarray(depth)), k
+    ) * 1e3
 
 
 # ---------------------------------------------------------------------------
