@@ -29,7 +29,16 @@ def maybe_force_platform(cfg) -> None:
     # TPU attachments where each first-time compile — including the
     # hundreds of eager micro-ops from model/optimizer init — costs a
     # ~0.5 s HTTP round trip; with the cache a repeat run skips them all.
-    cache_dir = cfg.get("compilation_cache_dir", "/tmp/pf_tpu_jax_cache")
+    # Per-user default: a fixed shared /tmp path would be owned by the
+    # first user on a multi-user host (permission failures / cache
+    # poisoning for everyone else).
+    import tempfile
+
+    default_cache = os.path.join(
+        tempfile.gettempdir(),
+        f"pf_tpu_jax_cache_{os.getuid() if hasattr(os, 'getuid') else 'u'}",
+    )
+    cache_dir = cfg.get("compilation_cache_dir", default_cache)
     if cache_dir:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

@@ -31,8 +31,15 @@ class TaskData:
         bs = int(t.get("batch_size", 32))
         # Input-pipeline parallelism: replaces the reference's
         # num_data_workers DataLoader forks (train.py:101-109) with an
-        # in-process thread pool + background batch prefetch.
-        threads = int(t.get("num_data_threads", 0))
+        # in-process thread pool + background batch prefetch. ON by
+        # default — every reference config runs 2-8 workers
+        # (configs/bg/bg_train.yaml:45 num_data_workers: 8); a default of
+        # 0 left out-of-box training decoding PNGs synchronously between
+        # device steps.
+        import os as _os
+
+        default_threads = min(8, _os.cpu_count() or 1)
+        threads = int(t.get("num_data_threads", default_threads))
         prefetch = int(t.get("prefetch_batches", 2 if threads else 0))
         if split != "train" or test:
             return Loader(

@@ -71,7 +71,10 @@ def build_forecast_step(bg_model, fg_model, *, height: int, width: int,
       output_inds, valid) with leading (B, N).
 
     Returns dict with ``panoptic`` (B, H, W) int32 trainId·1000+inst maps,
-    ``bg_seg``, ``bg_depth``, ``ids``.
+    ``bg_seg``, ``bg_depth``, ``ids``. ``ids``/``bbox``/``depths`` are all
+    indexed by ORIGINAL instance slot (ids[b, k] is the painted id of
+    input instance k; 0 for padded slots) — same contract as the staged
+    eval/fusion.predict_panoptic.
 
     ``use_bg_depth`` z-buffers instances against the combined reprojected
     depth (the reference FGModel supports a ``background_depth`` input,
@@ -167,11 +170,17 @@ def build_forecast_step(bg_model, fg_model, *, height: int, width: int,
             order, ids = _instance_ids(
                 cl, dp, vl, fg_model.use_depth_sorting
             )
-            return paste_and_composite(
+            pan = paste_and_composite(
                 m[order], bx[order], dp[order], ids, vl[order], cv, cvd,
                 img_h=height, img_w=width, threshold=threshold,
                 use_depth=fg_model.use_depth_sorting and use_bg_depth,
-            )[0], ids
+            )[0]
+            # Scatter ids back to ORIGINAL slot order so ids[k] pairs with
+            # bbox[k]/depths[k] exactly like the staged
+            # fusion.predict_panoptic output (_order_and_ids writes ids[k]
+            # per original slot k).
+            ids_slot = jnp.zeros_like(ids).at[order].set(ids)
+            return pan, ids_slot
 
         pan, ids = jax.vmap(fuse_one)(
             masks, boxes, inst_depth, classes, valid, canvas, fusion_depth

@@ -192,8 +192,14 @@ def test_fused_forecast_matches_staged(fg_parts):
     assert mismatch < 1e-3, f"{mismatch:.2%} pixels differ"
     for b in range(s):
         assert set(np.unique(pan_fused[b])) == set(np.unique(pan_staged[b]))
-    # ids well-formed
+    # ids in ORIGINAL slot order, exactly the staged assignment — so
+    # fused['ids'][b][k] pairs with fused['bbox'][b][k] like the staged API
     ids = np.asarray(fused["ids"])
+    ids_staged = np.stack(staged["ids"])
+    np.testing.assert_array_equal(ids, ids_staged.astype(ids.dtype))
+    np.testing.assert_allclose(
+        np.asarray(fused["bbox"]), staged["bbox"], rtol=1e-5, atol=1e-4
+    )
     for b in range(s):
         nz = ids[b][ids[b] > 0]
         assert len(set(nz.tolist())) == len(nz)
