@@ -170,8 +170,11 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
     Args:
       group_s: (N,) int32, ascending; entries with values >= num_groups
         (e.g. sentinels) are ignored.
-      key_s:   (N,) int32 >= 0 packed keys, ascending within each group
-        run (i.e. the pair stream is lexicographically sorted).
+      key_s:   (N,) int32 packed keys in [0, 2^31 - 2], ascending within
+        each group run (i.e. the pair stream is lexicographically
+        sorted). Key 0 is a legitimate value: winners are biased by +1
+        internally so an untouched group (returned as EMPTY) is never
+        confused with a winning key of 0.
       num_groups: canvas size.
 
     Returns (num_groups,) int32: per-group min key, EMPTY (int32 max)
@@ -181,11 +184,14 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
     nsub_in = block // SUB
     nsub_out = sw // SUB
     # Winner mask: only each group's first (= smallest-key) entry keeps
-    # its key; losers contribute 0 to the one-hot sums.
+    # its key; losers contribute 0 to the one-hot sums. Winners are
+    # biased +1 (undone after the byte recombine) so key 0 stays
+    # distinguishable from "no entry" — the bias keeps every byte-plane
+    # value <= 255 since keys are capped at 2^31 - 2.
     first = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), group_s[1:] != group_s[:-1]]
     )
-    mkey = jnp.where(first, key_s, 0)
+    mkey = jnp.where(first, key_s + 1, 0)
 
     # Pad the stream with a full sentinel block so padding chunks always
     # have a valid block to point at; pad the canvas to a supertile
@@ -273,6 +279,5 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
         | (b[:, :, 2] << 8)
         | b[:, :, 3]
     ).reshape(-1)[:num_groups]
-    # key 0 never occurs for a real entry (packed depth bits of a positive
-    # float are nonzero), so 0 == untouched.
-    return jnp.where(canvas == 0, jnp.int32(EMPTY), canvas)
+    # 0 == untouched (real winners were biased to >= 1 above).
+    return jnp.where(canvas == 0, jnp.int32(EMPTY), canvas - 1)

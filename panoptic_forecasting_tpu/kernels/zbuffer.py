@@ -240,9 +240,11 @@ def _zbuffer_scatter(pix: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
     return canvas_label, canvas_depth
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "method"))
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "method", "max_label")
+)
 def zbuffer_splat(uv, depth, label, valid, *, height: int, width: int,
-                  method: str = "auto"):
+                  method: str = "auto", max_label: int = 255):
     """Forward-splat a point stream into a (H, W) label+depth canvas.
 
     Args:
@@ -251,6 +253,13 @@ def zbuffer_splat(uv, depth, label, valid, *, height: int, width: int,
       label: (..., N) int (or (..., N, C) float) per-point payload.
       valid: (..., N) bool validity (valid input depth ∧ depth>0 ∧ in-bounds).
       height/width: output canvas size.
+      max_label: static upper bound on the scalar label payload. The fast
+        packed paths store the label in the low 8 bits of the sort key, so
+        they are only correct for payloads in [0, 255] (fine for
+        Cityscapes labelIds/trainIds <= 33, NOT for panoptic ids >=
+        11000). ``method='auto'`` with ``max_label > 255`` routes to the
+        exact (expanded-stream) sort path instead of silently aliasing;
+        explicitly requesting a packed method then raises.
 
     Returns:
       (label_canvas (..., H, W[, C]), depth_canvas (..., H, W)).
@@ -260,8 +269,9 @@ def zbuffer_splat(uv, depth, label, valid, *, height: int, width: int,
     are vmapped. Reference: pc_transform_model.py:100-150.
     """
     scalar_label = label.ndim == uv.ndim - 1
+    packable = scalar_label and max_label <= 255
     if method == "auto":
-        if scalar_label:
+        if packable:
             # Pallas placement on TPU; XLA scatter placement elsewhere.
             on_tpu = jax.default_backend() == "tpu"
             method = "pallas" if on_tpu else "packed"
@@ -269,6 +279,11 @@ def zbuffer_splat(uv, depth, label, valid, *, height: int, width: int,
             method = "sort"
 
     packed_family = method in ("packed", "pallas", "pallas_interpret")
+    if packed_family and scalar_label and max_label > 255:
+        raise ValueError(
+            f"packed z-buffer packs the label into 8 bits; max_label="
+            f"{max_label} would alias. Use method='sort' (or 'auto')."
+        )
     if uv.ndim > 2 and not packed_family:
         fn = functools.partial(
             zbuffer_splat, height=height, width=width, method=method

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import optax
 
 from .base import TaskModel
-from .hardnet import HarDNet
+from .hardnet import HarDNet, fold_batchnorm_variables
 
 
 class BGModel(TaskModel):
@@ -61,6 +61,20 @@ class BGModel(TaskModel):
         self.module = HarDNet(
             n_classes=self.num_classes, dtype=self.compute_dtype
         )
+        self._folded_module = HarDNet(
+            n_classes=self.num_classes, dtype=self.compute_dtype, folded=True
+        )
+
+    # -- inference-time conv+BN folding (v2_transform capability) ----------
+    fold_variables = staticmethod(fold_batchnorm_variables)
+
+    def _module_for(self, variables):
+        """Folded variables (no BN params) route to the folded graph —
+        ``forward``/``predict`` accept either form transparently."""
+        p = variables.get("params", {})
+        if "base_0" in p and "norm" not in p["base_0"]:
+            return self._folded_module
+        return self.module
 
     # -- input assembly ----------------------------------------------------
     def _inp2onehot(self, seg: jax.Array) -> jax.Array:
@@ -99,11 +113,12 @@ class BGModel(TaskModel):
             final_size=self.final_size,
             return_orig_size=return_orig_size,
         )
+        module = self._module_for(variables)
         if mutable:
-            return self.module.apply(
+            return module.apply(
                 variables, x, **kwargs, mutable=["batch_stats"]
             )
-        return self.module.apply(variables, x, **kwargs)
+        return module.apply(variables, x, **kwargs)
 
     # -- TaskModel protocol -------------------------------------------------
     def init(self, rng, batch):

@@ -18,8 +18,10 @@ BatchNorm with torch momentum/eps, and a hand-rolled separable
 align_corners=True bilinear resize (jax.image.resize implements only
 half-pixel sampling). ``expand_first_layer``/``expand_last_layer``
 (hardnet.py:329-339) are handled at weight-import/init time by the BG model.
-The reference's dead inference-only ``HarDBlock_v2`` weight-folding path is
-intentionally dropped (never called in-repo; XLA fuses conv+BN anyway).
+The reference's inference-only ``HarDBlock_v2``/``v2_transform`` conv+BN
+weight folding (hardnet.py:38-173,341-351 — dead code there, never called)
+is realized live here as ``fold_batchnorm_variables`` + ``folded=True``:
+the inference graph runs bias-convs with no BN ops at all.
 """
 
 from __future__ import annotations
@@ -103,36 +105,122 @@ def resize_bilinear_align_corners(x: jnp.ndarray, size: Tuple[int, int]):
     return x
 
 
+def _space_to_depth_conv(x, w, bias, dtype):
+    """3×3 stride-2 conv evaluated as a 2×2 conv over 2×2-packed input.
+
+    The 36-channel full-resolution stem conv pays ~2.7 ms at 1024×2048 in
+    input relayout (profiled round 2, docs/perf_notes.md): 36 channels tile
+    poorly onto the MXU's 128-lane axis. Packing 2×2 pixel blocks into
+    channels (H, W, C) → (H/2, W/2, 4C) makes the channel axis 144 and the
+    conv stride-1 — same math (each output pixel of a stride-2/pad-1 3×3
+    conv reads rows 2i−1..2i+1, which the 2×2 window over packed blocks
+    a−1..a covers), with the kernel re-indexed as
+    ``w2[p, q, (dr, dc, c)] = w[2p+dr−1, 2q+dc−1, c]`` (zero outside the
+    3×3 support). Requires even H, W.
+    """
+    c_in, c_out = w.shape[2], w.shape[3]
+    b, h, wd = x.shape[0], x.shape[1], x.shape[2]
+    xp = x.reshape(b, h // 2, 2, wd // 2, 2, c_in)
+    xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, wd // 2, 4 * c_in)
+    w2 = jnp.zeros((2, 2, 4 * c_in, c_out), w.dtype)
+    for p in (0, 1):
+        for dr in (0, 1):
+            r = 2 * p + dr - 1
+            if not 0 <= r <= 2:
+                continue
+            for q in (0, 1):
+                for dc in (0, 1):
+                    cc = 2 * q + dc - 1
+                    if not 0 <= cc <= 2:
+                        continue
+                    sl = (dr * 2 + dc) * c_in
+                    w2 = w2.at[p, q, sl : sl + c_in, :].set(w[r, cc])
+    out = jax.lax.conv_general_dilated(
+        xp.astype(dtype), w2.astype(dtype), (1, 1), ((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        out = out + bias.astype(dtype)
+    return out
+
+
+class _ConvParams(nn.Module):
+    """Declares conv params with nn.Conv's exact tree/shape/init so this
+    layer's variables stay interchangeable with an nn.Conv("conv")."""
+
+    features: int
+    kernel: int
+    in_features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, self.in_features, self.features),
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
 class ConvLayer(nn.Module):
     """conv(no bias, torch-style k//2 padding) → BN → ReLU (hardnet.py:16-25).
 
     ``dtype`` is the compute dtype (bf16 keeps convs on the MXU fast path
-    and halves HBM traffic); params stay float32."""
+    and halves HBM traffic); params stay float32.
+
+    ``folded`` is the inference variant: conv WITH bias, no BN — fed by
+    ``fold_batchnorm_variables`` (the live re-design of the reference's
+    dead ``HarDBlock_v2``/``v2_transform`` conv+BN weight folding,
+    hardnet.py:38-173,341-351). ``s2d`` evaluates a 3×3 stride-2 conv via
+    space-to-depth packing (see _space_to_depth_conv)."""
 
     out_channels: int
     kernel: int = 3
     stride: int = 1
     dtype: Any = jnp.float32
+    folded: bool = False
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = self.kernel // 2
-        x = nn.Conv(
-            self.out_channels,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)),
-            use_bias=False,
-            dtype=self.dtype,
+        k, b = _ConvParams(
+            self.out_channels, self.kernel, x.shape[-1], self.folded,
             name="conv",
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            name="norm",
-        )(x)
+        )()
+        use_s2d = (
+            self.s2d
+            and self.kernel == 3
+            and self.stride == 2
+            and x.shape[-3] % 2 == 0
+            and x.shape[-2] % 2 == 0
+        )
+        if use_s2d:
+            x = _space_to_depth_conv(x.astype(self.dtype), k, b, self.dtype)
+        else:
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                k.astype(self.dtype),
+                (self.stride, self.stride),
+                ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if b is not None:
+                x = x + b.astype(self.dtype)
+        if not self.folded:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name="norm",
+            )(x)
         return nn.relu(x)
 
 
@@ -143,6 +231,7 @@ class HarDBlock(nn.Module):
     n_layers: int
     keep_base: bool = False
     dtype: Any = jnp.float32
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -154,9 +243,8 @@ class HarDBlock(nn.Module):
             tin = [outs[l] for l in link]
             inp = jnp.concatenate(tin, axis=-1) if len(tin) > 1 else tin[0]
             outs.append(
-                ConvLayer(out_ch, dtype=self.dtype, name=f"layer_{i}")(
-                    inp, train=train
-                )
+                ConvLayer(out_ch, dtype=self.dtype, folded=self.folded,
+                          name=f"layer_{i}")(inp, train=train)
             )
         t = len(outs)
         keep = [
@@ -182,6 +270,8 @@ class HarDNet(nn.Module):
     grmul: float = 1.7
     gr: Sequence[int] = (10, 16, 18, 24, 32)
     n_layers: Sequence[int] = (4, 4, 8, 8, 8)
+    folded: bool = False
+    stem_s2d: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -191,16 +281,20 @@ class HarDNet(nn.Module):
         blks = len(self.n_layers)
 
         # Stem (hardnet.py:274-280); base indices mirror the torch ModuleList
-        # so the weight importer maps by position.
+        # so the weight importer maps by position. The two stride-2 convs
+        # use the space-to-depth formulation (same params): the wide
+        # full-res stem input tiles poorly on the MXU lane axis otherwise.
         x = x.astype(self.dtype)
         x = ConvLayer(self.first_ch[0], kernel=3, stride=2, dtype=self.dtype,
+                      folded=self.folded, s2d=self.stem_s2d,
                       name="base_0")(x, train)
         x = ConvLayer(self.first_ch[1], kernel=3, dtype=self.dtype,
-                      name="base_1")(x, train)
+                      folded=self.folded, name="base_1")(x, train)
         x = ConvLayer(self.first_ch[2], kernel=3, stride=2, dtype=self.dtype,
+                      folded=self.folded, s2d=self.stem_s2d,
                       name="base_2")(x, train)
         x = ConvLayer(self.first_ch[3], kernel=3, dtype=self.dtype,
-                      name="base_3")(x, train)
+                      folded=self.folded, name="base_3")(x, train)
 
         skips: List[jnp.ndarray] = []
         skip_chs: List[int] = []
@@ -209,7 +303,8 @@ class HarDNet(nn.Module):
         for i in range(blks):
             x = HarDBlock(
                 ch, self.gr[i], self.grmul, self.n_layers[i],
-                dtype=self.dtype, name=f"base_{base_idx}",
+                dtype=self.dtype, folded=self.folded,
+                name=f"base_{base_idx}",
             )(x, train)
             ch = HarDBlock.out_ch(ch, self.gr[i], self.grmul, self.n_layers[i])
             base_idx += 1
@@ -217,6 +312,7 @@ class HarDNet(nn.Module):
                 skips.append(x)
                 skip_chs.append(ch)
             x = ConvLayer(self.ch_list[i], kernel=1, dtype=self.dtype,
+                          folded=self.folded,
                           name=f"base_{base_idx}")(x, train)
             ch = self.ch_list[i]
             base_idx += 1
@@ -232,10 +328,12 @@ class HarDNet(nn.Module):
             x = jnp.concatenate([x, skip], axis=-1)
             cur = prev_ch + skip_chs[i]
             x = ConvLayer(cur // 2, kernel=1, dtype=self.dtype,
+                          folded=self.folded,
                           name=f"conv1x1_up_{j}")(x, train)
             x = HarDBlock(
                 cur // 2, self.gr[i], self.grmul, self.n_layers[i],
-                dtype=self.dtype, name=f"denseBlocksUp_{j}",
+                dtype=self.dtype, folded=self.folded,
+                name=f"denseBlocksUp_{j}",
             )(x, train)
             prev_ch = HarDBlock.out_ch(
                 cur // 2, self.gr[i], self.grmul, self.n_layers[i]
@@ -251,3 +349,42 @@ class HarDNet(nn.Module):
         if return_orig_size:
             return out, logits
         return out
+
+
+def fold_batchnorm_variables(variables):
+    """Fold every ConvLayer's BatchNorm into its conv for inference.
+
+    Returns variables for ``HarDNet(folded=True)``: each
+    ``{conv: {kernel}, norm: {scale, bias}}`` params group (with matching
+    ``batch_stats`` mean/var) becomes ``{conv: {kernel', bias'}}`` with
+
+        kernel' = kernel · γ/√(var+ε),   bias' = β − mean · γ/√(var+ε)
+
+    — the live re-design of the reference's dead ``v2_transform`` conv+BN
+    weight folding (hardnet.py:341-351). Numerically this removes the BN
+    normalization chain from the inference graph entirely (conv bias adds
+    fold into the conv epilogue); exact up to f32 rounding.
+    """
+    eps = 1e-5
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+
+    def fold(p, s):
+        if isinstance(p, dict) and "conv" in p and "norm" in p:
+            gamma = p["norm"]["scale"]
+            beta = p["norm"]["bias"]
+            mean = s["norm"]["mean"]
+            var = s["norm"]["var"]
+            scale = gamma / jnp.sqrt(var + eps)
+            return {
+                "conv": {
+                    "kernel": p["conv"]["kernel"] * scale,
+                    "bias": beta - mean * scale,
+                }
+            }
+        if isinstance(p, dict):
+            return {k: fold(v, s.get(k, {}) if isinstance(s, dict) else {})
+                    for k, v in p.items()}
+        return p
+
+    return {"params": fold(dict(params), dict(stats))}

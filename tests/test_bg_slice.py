@@ -196,3 +196,27 @@ def test_bg_bf16_compute_dtype():
     assert jax.tree_util.tree_leaves(v["params"])[0].dtype == jnp.float32
     out = jax.eval_shape(lambda v, x: model.module.apply(v, x), v, x)
     assert out.dtype == jnp.float32
+
+
+def test_bg_fold_inference_matches(bg_cfg):
+    """fold_batchnorm_variables + folded graph == standard predict
+    (v2_transform capability: no BN ops in the inference graph)."""
+    import jax
+    import numpy as np
+    from panoptic_forecasting_tpu.core import build_dataset, build_model
+
+    data = build_dataset(bg_cfg)
+    model = build_model(bg_cfg, data.card)
+    batch = next(iter(data.loader("val", bg_cfg)))
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    ref = model.predict(variables, batch)
+    folded = model.fold_variables(variables)
+    assert "batch_stats" not in folded
+    out = model.predict(folded, batch)
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), np.asarray(ref["logits"]),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["seg"]), np.asarray(ref["seg"])
+    )

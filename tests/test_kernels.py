@@ -300,3 +300,60 @@ def test_place_sorted_chunklist_bound_property():
         assert counts.sum() <= n_super + nblocks, (
             trial, counts.sum(), n_super + nblocks
         )
+
+
+def test_place_sorted_key_zero_is_distinct_from_empty():
+    """A winning key of exactly 0 must be returned as 0, not EMPTY (the
+    internal +1 bias keeps untouched groups distinguishable)."""
+    from panoptic_forecasting_tpu.kernels.placement import place_sorted
+
+    rng = np.random.RandomState(3)
+    num_groups, n = 2048, 600
+    g = rng.randint(0, num_groups, n).astype(np.int32)
+    k = rng.randint(0, 2**31 - 1, n).astype(np.int32)
+    k[::7] = 0  # legitimate zero keys sprinkled through
+    order = np.lexsort((k, g))
+    g, k = g[order], k[order]
+    out = np.asarray(
+        place_sorted(
+            jnp.asarray(g), jnp.asarray(k), num_groups=num_groups,
+            interpret=True, block=512, sw=1024,
+        )
+    )
+    ref = np.full(num_groups, 0x7FFFFFFF, np.int32)
+    np.minimum.at(ref, g, k)
+    np.testing.assert_array_equal(out, ref)
+    assert (out == 0).any()  # at least one group actually won with key 0
+
+
+def test_zbuffer_large_labels_route_to_exact_path():
+    """Payloads >= 256 (e.g. panoptic ids) must not alias through the
+    8-bit packed key: auto + max_label routes to the exact sort path."""
+    rng = np.random.RandomState(5)
+    h, w, n = 6, 9, 60
+    uv = rng.rand(n, 2) * [w + 2, h + 2] - 1
+    depth = rng.rand(n) * 10 + 0.5
+    # panoptic-style ids: class*1000 + instance, far above 255, and
+    # chosen so 8-bit aliasing (mod 256) WOULD merge distinct ids
+    label = (11000 + rng.randint(0, 4, size=n) * 256).astype(np.int32)
+    valid = rng.rand(n) > 0.3
+    gl, gd = _np_zbuffer(uv, depth, label, valid, h, w)
+    ll, dd = zbuffer_splat(
+        jnp.asarray(uv, jnp.float32),
+        jnp.asarray(depth, jnp.float32),
+        jnp.asarray(label),
+        jnp.asarray(valid),
+        height=h, width=w, method="auto", max_label=12000,
+    )
+    np.testing.assert_array_equal(np.asarray(ll), gl)
+    np.testing.assert_allclose(np.asarray(dd), gd, atol=1e-6)
+
+
+def test_zbuffer_packed_rejects_large_max_label():
+    uv = jnp.zeros((4, 2))
+    depth = jnp.ones((4,))
+    label = jnp.zeros((4,), jnp.int32)
+    valid = jnp.ones((4,), bool)
+    with pytest.raises(ValueError, match="alias"):
+        zbuffer_splat(uv, depth, label, valid, height=4, width=4,
+                      method="packed", max_label=512)

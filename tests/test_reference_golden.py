@@ -542,3 +542,202 @@ def test_pc_transform_golden(ref):
         my_d[valid_px], ref_d[valid_px], rtol=3.1e-5, atol=1e-5
     )
     assert valid_px.mean() > 0.3  # the comparison actually covers pixels
+
+
+# ---------------------------------------------------------------------------
+# Golden LOSS parity: loss() dicts vs the reference's own losses on shared
+# random weights/batches (odom_model.py:104-115, bg_model.py:73-89,
+# losses.py:14-189 + fg_model.py:341-386).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("use_normalized_loss", [True, False])
+@pytest.mark.parametrize("loss_fn", ["mse", "smooth_l1"])
+def test_odom_loss_golden(ref, use_normalized_loss, loss_fn):
+    torch.manual_seed(0)
+    mean = torch.tensor([1.5, -0.2])
+    std = torch.tensor([2.0, 0.5])
+    params = {
+        "model": {"predict_type": "direct", "normalize_input": True,
+                  "use_normalized_loss": use_normalized_loss,
+                  "rnn_hidden": 16, "loss_fn": loss_fn, "out_layers": []},
+        "data": {"odom_norm_params": (mean, std)},
+    }
+    rmodel = ref.OdomModel(params).eval()
+    rng = np.random.RandomState(11)
+    x = rng.randn(4, 9, 2).astype(np.float32)
+    y = rng.randn(4, 9, 2).astype(np.float32)
+    with torch.no_grad():
+        ref_loss = rmodel.loss(
+            {"odometry": torch.from_numpy(x)},
+            {"odometry": torch.from_numpy(y)},
+        )["loss"].numpy()
+
+    from panoptic_forecasting_tpu.data.cards import DataCard
+    from panoptic_forecasting_tpu.models import reference_import as ri
+    from panoptic_forecasting_tpu.models.odom import OdomModel as MyOdom
+
+    jparams, stats = ri.odom_from_reference(rmodel.state_dict())
+    card = DataCard(task="odom")
+    for name, (m, s) in stats.items():
+        card.set_stats(name, m, s)
+    mine = MyOdom(
+        {"model": {"predict_type": "direct", "rnn_hidden": 16,
+                   "loss_fn": loss_fn, "normalize_input": True,
+                   "use_normalized_loss": use_normalized_loss},
+         "data": {"output_len": 9}},
+        card,
+    )
+    _, metrics, _ = mine.loss(
+        jparams, {},
+        {"inputs": {"odometry": jnp.asarray(x)},
+         "labels": {"odometry": jnp.asarray(y)}},
+        train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(metrics["loss"]), ref_loss, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_bg_loss_golden(ref):
+    """BG CrossEntropy(ignore 255) + accuracy vs the reference BGModel
+    (bg_model.py:73-89) with imported weights, 36-ch one-hot+depth stack."""
+    from panoptic_forecasting.models.bg.bg_model import BGModel as RefBG
+
+    torch.manual_seed(0)
+    params = {
+        "model": {"num_inputs": 3, "convert2onehot": True,
+                  "use_depth_inps": True, "hardnet": {}},
+        "data": {"num_classes": 11,
+                 "depth_norm_params": (torch.tensor([12.0]),
+                                       torch.tensor([7.0]))},
+    }
+    rmodel = RefBG(params).eval()
+    with torch.no_grad():
+        for m in rmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+
+    rng = np.random.RandomState(13)
+    b, t, h, w = 2, 3, 64, 128
+    seg = rng.randint(0, 14, size=(b, t, h, w))  # some ids >= 11 -> zeroed
+    depth = (rng.rand(b, t, h, w) * 40 + 1).astype(np.float32)
+    dmask = rng.rand(b, t, h, w) > 0.2
+    labels = rng.randint(0, 11, size=(b, h, w))
+    labels[rng.rand(b, h, w) > 0.8] = 255  # ignore_index pixels
+
+    with torch.no_grad():
+        ref_res = rmodel.loss(
+            {"seg": torch.from_numpy(seg.copy()),
+             "depth": torch.from_numpy(depth),
+             "depth_mask": torch.from_numpy(dmask.astype(np.float32))},
+            {"seg": torch.from_numpy(labels)},
+        )
+
+    from panoptic_forecasting_tpu.data.cards import DataCard
+    from panoptic_forecasting_tpu.models import reference_import as ri
+    from panoptic_forecasting_tpu.models.base import split_variables
+    from panoptic_forecasting_tpu.models.bg import BGModel as MyBG
+
+    variables, stats = ri.bg_from_reference(rmodel.state_dict())
+    card = DataCard(task="bg", num_classes=11)
+    for name, (m, s) in stats.items():
+        card.set_stats(name, m, s)
+    mine = MyBG(
+        {"model": {"num_inputs": 3, "convert2onehot": True,
+                   "use_depth_inps": True},
+         "data": {"num_classes": 11}},
+        card,
+    )
+    jparams, state = split_variables(
+        jax.tree_util.tree_map(jnp.asarray, variables)
+    )
+    loss, metrics, _ = mine.loss(
+        jparams, state,
+        {"inputs": {"seg": jnp.asarray(seg),
+                    "depth": jnp.asarray(depth),
+                    "depth_mask": jnp.asarray(dmask)},
+         "labels": {"seg": jnp.asarray(labels)}},
+        train=False,
+    )
+    np.testing.assert_allclose(
+        float(loss), float(ref_res["loss"]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics["accuracy"]), float(ref_res["accuracy"]),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_fg_loss_golden(ref):
+    """All fg loss/metric keys (traj smoothl1, center L2, FDE, size L1,
+    depth L2, mask distill, combined loss) vs the reference's own
+    TrajectoryLoss/DefaultMaskLoss reductions (losses.py:14-189)."""
+    rmodel, _ = _build_ref_fg(ref)
+    rng = np.random.RandomState(17)
+    n, t_in, t_out = 4, 3, 3
+    d = _fg_inputs(n, rng, t_in, t_out)
+    feat_masks = (rng.rand(n, t_in + t_out) > 0.2)
+    feat_masks[:, 0] = True
+    lab_feats = rng.randn(n, t_out, 256, 14, 14).astype(np.float32)
+    lab_depths = (rng.rand(n, t_out, 2).astype(np.float32) * 30 + 1)
+    lab_dmask = (rng.rand(n, t_out, 1) > 0.2)
+
+    t = torch.from_numpy
+    ref_inputs = {
+        "trajectories": t(d["trajectories"][:, :t_in]),
+        "bbox_masks": t(d["bbox_masks"].astype(np.float32)),
+        "bbox_vel_masks": t(d["bbox_vel_masks"].astype(np.float32)),
+        "depths": t(d["depths"]),
+        "depth_masks": t(d["depth_masks"].astype(np.float32)),
+        "feats": t(d["feats"]),
+        "feat_masks": t(feat_masks.astype(np.float32)),
+        "odometry": t(d["odom"]),
+        "classes": t(d["classes"]),
+    }
+    ref_labels = {
+        "trajectories": t(d["trajectories"][:, t_in:]),
+        "depths": t(lab_depths),
+        "depth_masks": t(lab_dmask.astype(np.float32)),
+        "feats": t(lab_feats),
+        "output_inds": t(d["output_inds"]),
+    }
+    with torch.no_grad():
+        ref_res = rmodel.loss(ref_inputs, ref_labels)
+
+    mine, variables = _my_fg(rmodel)
+    from panoptic_forecasting_tpu.models.base import split_variables
+
+    jparams, state = split_variables(variables)
+    batch = {
+        "inputs": {
+            "trajectories": d["trajectories"][:, :t_in],
+            "bbox_masks": d["bbox_masks"],
+            "bbox_vel_masks": d["bbox_vel_masks"],
+            "depths": d["depths"],
+            "depth_masks": d["depth_masks"],
+            "feats": d["feats"],
+            "feat_masks": feat_masks,
+            "odometry": d["odom"],
+            "classes": d["classes"],
+        },
+        "labels": {
+            "trajectories": d["trajectories"][:, t_in:],
+            "depths": lab_depths,
+            "depth_masks": lab_dmask,
+            "feats": lab_feats,
+            "output_inds": d["output_inds"],
+        },
+    }
+    _, metrics, _ = mine.loss(jparams, state, batch, train=False)
+
+    keys = ["loss", "traj_2d_loss", "center_pixel_l2", "center_pixel_fde",
+            "size_pixel_l1", "depth_l2", "mask_distill_loss"]
+    for k in keys:
+        ref_v = ref_res[k].numpy()
+        my_v = np.asarray(metrics[k])
+        np.testing.assert_allclose(
+            my_v, ref_v, rtol=1e-5, atol=1e-6,
+            err_msg=f"loss key {k} diverged",
+        )
