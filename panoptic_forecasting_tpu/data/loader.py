@@ -45,10 +45,18 @@ def _background_prefetch(it: Iterator, depth: int) -> Iterator:
         except BaseException as e:  # surfaced to the consumer
             err.append(e)
         finally:
-            try:
-                q.put(sentinel, timeout=0.1)
-            except queue.Full:
-                pass
+            # The sentinel MUST be delivered on normal completion or the
+            # consumer blocks forever on q.get() once it drains the queue
+            # (a single 0.1 s best-effort put dropped it whenever the
+            # consumer was still busy with an earlier batch — deadlocked
+            # the trainer the moment prefetch became the default). Retry
+            # until delivered; bail only if the consumer abandoned us.
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()

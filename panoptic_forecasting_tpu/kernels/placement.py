@@ -21,22 +21,28 @@ sort order:
     (supertile, input-block) chunk list — built host-free in XLA with one
     searchsorted over supertile boundaries — drives a 1-D grid via scalar
     prefetch. Input blocks stream double-buffered; each supertile's
-    output row block accumulates in VMEM across revisited steps.
-  * Within a block, each 128-entry sub-chunk multiplies against one
-    384-lane window around its sorted group range. At Cityscapes density
-    (~1.3 pixels/entry) a sub-chunk spans ~170 +- 45 pixels, so the
-    window covers essentially every sub-chunk; rare wide spans (sparse
-    regions, supertile boundaries) take a per-STEP slow path behind a
-    single predicate — per-sub-chunk dynamic loops cost ~18 ms in bare
-    loop setup (measured), so the fast path must contain none.
+    output row block accumulates in VMEM across revisited steps. EMPTY
+    supertiles get no chunks: their rows keep the zeros of an aliased
+    zero input buffer (critical for sparse plane-major canvases — the
+    per-frame fused forecast leaves 3 of 4 corner planes nearly empty).
+  * Within a block, each ``sub``-entry sub-chunk multiplies against one
+    ``win``-lane window around its sorted group range. Per-sub-chunk
+    issue overhead (scalar reads, dynamic-slice RMW) dominates at
+    sub=128 (measured round 3), so ``sub`` is a tunable: bigger
+    sub-chunks amortize the overhead at the cost of a wider window
+    (span grows with sub/density). Rare wide spans (sparse regions,
+    supertile boundaries) take a per-STEP slow path behind a single
+    predicate — per-sub-chunk dynamic loops cost ~18 ms in bare loop
+    setup (measured), so the fast path must contain none.
   * Entries outside a window simply fail the equality compare
     (self-masking): stray neighbours from block rounding and the
     sentinel padding (group = INT32_MAX) contribute zero.
   * Output rows are (window-row, byte) pairs so the read-modify-write
     slides along the cheap sublane axis, never the lane axis.
 
-Empirically on v5e at 6.3M points / 8.4M groups: ~7 ms placement vs
-~40 ms for the XLA scatter; the result is bit-identical.
+Empirically on v5e at 6.3M points: ~40 ms XLA scatter → ~7 ms (round 2,
+sub=128/sw=8192) → see docs/perf_notes.md for the round-3 sweep; the
+result is bit-identical throughout.
 """
 
 from __future__ import annotations
@@ -51,14 +57,13 @@ from jax.experimental.pallas import tpu as pltpu
 EMPTY = 0x7FFFFFFF  # plain int: jnp constants would be captured tracers
 _BIG = 0x7FFFFFFF
 
-SUB = 128  # entries per sub-chunk
-WIN = 384  # fast-path window width (pixels) = 3 sub-tiles
-
-_DN = (((1,), (0,)), ((), ()))  # (4, SUB) @ (SUB, win) -> (4, win)
+LANE = 128  # output lane width / window alignment unit
+SUB = 128   # default entries per sub-chunk (see `sub` arg)
+WIN = 384   # default fast-path window width (pixels)
 
 
 def _bytes4(row):
-    """(1, SUB) int32 -> (4, SUB) bf16 exact byte planes (msb first)."""
+    """(1, S) int32 -> (4, S) bf16 exact byte planes (msb first)."""
     return jnp.concatenate(
         [
             ((row >> 24) & 0xFF).astype(jnp.bfloat16),
@@ -70,41 +75,45 @@ def _bytes4(row):
     )
 
 
+_DN = (((1,), (0,)), ((), ()))  # (4, S) @ (S, LANE) -> (4, LANE)
+
+
 def _kernel(tid_ref, blk_ref, fst_ref, sflag_ref, win_ref, g_ref, k_ref,
-            out_ref, *, sw, nsub_in):
+            zero_ref, out_ref, *, sw, nsub_in, sub, win):
+    del zero_ref  # alias source of out_ref; only its HBM zeros matter
     j = pl.program_id(0)
-    nsub_out = sw // SUB
+    nsub_out = sw // LANE
 
     @pl.when(fst_ref[j] == 1)
     def _():
-        out_ref[...] = jnp.zeros((1, nsub_out * 4, SUB), jnp.float32)
+        out_ref[...] = jnp.zeros((1, nsub_out * 4, LANE), jnp.float32)
 
     base = tid_ref[j] * sw
-    lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, WIN), 1)
-    lane_s = jax.lax.broadcasted_iota(jnp.int32, (1, SUB), 1)
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1)
 
     for i in range(nsub_in):
         w0 = win_ref[j * nsub_in + i] & 0xFFFF
-        g_i = g_ref[0, :, i : i + 1]  # (SUB, 1) sorted groups
-        kb_i = _bytes4(k_ref[0, i : i + 1, :])  # (4, SUB) bf16 key bytes
+        g_i = g_ref[0, :, i : i + 1]  # (sub, 1) sorted groups
+        kb_i = _bytes4(k_ref[0, i : i + 1, :])  # (4, sub) bf16 key bytes
 
         # One window covers the typical sorted span (self-masking for
-        # strays/sentinels). Three 128-lane dots -> (12, SUB) stacked
-        # (window-row, byte) block added at a dynamic SUBLANE offset.
+        # strays/sentinels). win//LANE dots -> (4*win//LANE, LANE)
+        # stacked (window-row, byte) block added at a dynamic SUBLANE
+        # offset.
         hit = (g_i == (base + w0 + lane_w)).astype(jnp.bfloat16)
         contrib = jnp.concatenate(
             [
                 jax.lax.dot_general(
-                    kb_i, hit[:, s * SUB : (s + 1) * SUB], _DN,
+                    kb_i, hit[:, s * LANE : (s + 1) * LANE], _DN,
                     preferred_element_type=jnp.float32,
                 )
-                for s in range(WIN // SUB)
+                for s in range(win // LANE)
             ],
             axis=0,
         )
-        row0 = (w0 // SUB) * 4
-        cur = out_ref[0, pl.ds(row0, 4 * (WIN // SUB)), :]
-        out_ref[0, pl.ds(row0, 4 * (WIN // SUB)), :] = cur + contrib
+        row0 = (w0 // LANE) * 4
+        cur = out_ref[0, pl.ds(row0, 4 * (win // LANE)), :]
+        out_ref[0, pl.ds(row0, 4 * (win // LANE)), :] = cur + contrib
 
     # Slow path for sub-chunks with entries beyond the fast window. The
     # windows are ENTRY-ANCHORED: each iteration jumps straight to the
@@ -136,7 +145,7 @@ def _kernel(tid_ref, blk_ref, fst_ref, sflag_ref, win_ref, g_ref, k_ref,
                     idx = jnp.sum((g_i <= end).astype(jnp.int32))
                     wn = g_ref[0, idx, i]  # first uncovered entry
                     rel = jnp.clip(
-                        ((wn - base) // SUB) * SUB, 0, sw - WIN
+                        ((wn - base) // LANE) * LANE, 0, sw - win
                     )
                     hit = (
                         (g_i == (base + rel + lane_w)) & (g_i > end)
@@ -144,27 +153,29 @@ def _kernel(tid_ref, blk_ref, fst_ref, sflag_ref, win_ref, g_ref, k_ref,
                     contrib = jnp.concatenate(
                         [
                             jax.lax.dot_general(
-                                kb_i, hit[:, s * SUB : (s + 1) * SUB],
+                                kb_i, hit[:, s * LANE : (s + 1) * LANE],
                                 _DN, preferred_element_type=jnp.float32,
                             )
-                            for s in range(WIN // SUB)
+                            for s in range(win // LANE)
                         ],
                         axis=0,
                     )
-                    row0 = (rel // SUB) * 4
-                    nrows = 4 * (WIN // SUB)
+                    row0 = (rel // LANE) * 4
+                    nrows = 4 * (win // LANE)
                     cur = out_ref[0, pl.ds(row0, nrows), :]
                     out_ref[0, pl.ds(row0, nrows), :] = cur + contrib
-                    return base + rel + WIN - 1
+                    return base + rel + win - 1
 
-                jax.lax.while_loop(cond, body, base + w0 + WIN - 1)
+                jax.lax.while_loop(cond, body, base + w0 + win - 1)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_groups", "block", "sw", "interpret")
+    jax.jit,
+    static_argnames=("num_groups", "block", "sw", "interpret", "win", "sub"),
 )
 def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
-                 sw: int = 8192, interpret: bool = False):
+                 sw: int = 32768, interpret: bool = False, win: int = WIN,
+                 sub: int = SUB):
     """Dense canvas from a sorted (group, key) stream.
 
     Args:
@@ -176,13 +187,18 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
         internally so an untouched group (returned as EMPTY) is never
         confused with a winning key of 0.
       num_groups: canvas size.
+      block/sw/win/sub: tuning — entries per grid step, supertile width
+        (<= 65536: window offsets pack into 16 bits), fast-window width
+        (multiple of 128), entries per sub-chunk (divides block).
 
     Returns (num_groups,) int32: per-group min key, EMPTY (int32 max)
     where a group has no entries.
     """
     n = group_s.shape[0]
-    nsub_in = block // SUB
-    nsub_out = sw // SUB
+    assert block % sub == 0 and win % LANE == 0 and sw % LANE == 0
+    assert sw <= 65536 and win <= sw
+    nsub_in = block // sub
+    nsub_out = sw // LANE
     # Winner mask: only each group's first (= smallest-key) entry keeps
     # its key; losers contribute 0 to the one-hot sums. Winners are
     # biased +1 (undone after the byte recombine) so key 0 stays
@@ -209,7 +225,9 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
     offs = jnp.searchsorted(group_p, bounds).astype(jnp.int32)
     blk0 = offs[:-1] // block
     blk1 = jnp.where(offs[1:] > offs[:-1], (offs[1:] - 1) // block, blk0)
-    counts = blk1 - blk0 + 1  # >= 1 for every supertile
+    # EMPTY supertiles get no chunks at all: their output rows are never
+    # visited and keep the zeros of the aliased output buffer.
+    counts = jnp.where(offs[1:] > offs[:-1], blk1 - blk0 + 1, 0)
     maxchunks = n_super + nblocks  # static bound on sum(counts)
     cum = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
@@ -225,14 +243,14 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
 
     # Per-(chunk, sub-chunk) fast-window offset + extra-window count,
     # packed into one int32 (w0 < 2^16 since sw <= 65536).
-    g3 = group_p.reshape(nblocks, nsub_in, SUB)
+    g3 = group_p.reshape(nblocks, nsub_in, sub)
     gf = g3[:, :, 0][blks]  # (maxchunks, nsub_in)
-    gl = g3[:, :, SUB - 1][blks]
+    gl = g3[:, :, sub - 1][blks]
     base_j = (tid * sw)[:, None]
     t0 = jnp.maximum(gf - base_j, 0)
-    w0s = jnp.clip((t0 // SUB) * SUB, 0, sw - WIN)
-    hi_w = jnp.clip((gl - base_j) // SUB, 0, nsub_out - 1)
-    exs = jnp.maximum(hi_w - (w0s // SUB + WIN // SUB - 1), 0)
+    w0s = jnp.clip((t0 // LANE) * LANE, 0, sw - win)
+    hi_w = jnp.clip((gl - base_j) // LANE, 0, nsub_out - 1)
+    exs = jnp.maximum(hi_w - (w0s // LANE + win // LANE - 1), 0)
     # Fully-stray sub-chunks (every entry beyond this supertile) need no
     # extra windows — without this, every boundary chunk would take the
     # slow path.
@@ -242,37 +260,48 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
 
     # Groups sub-chunk-major (entries on sublanes); keys natural layout
     # (entries on lanes — byte planes are extracted in-kernel).
-    gT = group_p.reshape(nblocks, nsub_in, SUB).transpose(0, 2, 1)
-    kN = mkey_p.reshape(nblocks, nsub_in, SUB)
+    gT = group_p.reshape(nblocks, nsub_in, sub).transpose(0, 2, 1)
+    kN = mkey_p.reshape(nblocks, nsub_in, sub)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(maxchunks,),
         in_specs=[
             pl.BlockSpec(
-                (1, SUB, nsub_in),
+                (1, sub, nsub_in),
                 lambda i, tid, blk, fst, sf, win: (blk[i], 0, 0),
             ),
             pl.BlockSpec(
-                (1, nsub_in, SUB),
+                (1, nsub_in, sub),
                 lambda i, tid, blk, fst, sf, win: (blk[i], 0, 0),
+            ),
+            # zero buffer aliased to the output: supertiles with no chunks
+            # are never visited and keep these zeros.
+            pl.BlockSpec(
+                (1, nsub_out * 4, LANE),
+                lambda i, tid, blk, fst, sf, win: (tid[i], 0, 0),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, nsub_out * 4, SUB),
+            (1, nsub_out * 4, LANE),
             lambda i, tid, blk, fst, sf, win: (tid[i], 0, 0),
         ),
     )
+    zeros = jnp.zeros((n_super, nsub_out * 4, LANE), jnp.float32)
     sums = pl.pallas_call(
-        functools.partial(_kernel, sw=sw, nsub_in=nsub_in),
+        functools.partial(
+            _kernel, sw=sw, nsub_in=nsub_in, sub=sub, win=win
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_super, nsub_out * 4, SUB), jnp.float32
+            (n_super, nsub_out * 4, LANE), jnp.float32
         ),
+        # index 7 = 5 scalar-prefetch args + gT + kN, then the zero buffer
+        input_output_aliases={7: 0},
         interpret=interpret,
-    )(tid, blks, fst, sflag, wins, gT, kN)
+    )(tid, blks, fst, sflag, wins, gT, kN, zeros)
 
-    b = sums.reshape(n_super, nsub_out, 4, SUB).astype(jnp.int32)
+    b = sums.reshape(n_super, nsub_out, 4, LANE).astype(jnp.int32)
     canvas = (
         (b[:, :, 0] << 24)
         | (b[:, :, 1] << 16)

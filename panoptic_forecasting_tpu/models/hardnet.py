@@ -271,7 +271,11 @@ class HarDNet(nn.Module):
     gr: Sequence[int] = (10, 16, 18, 24, 32)
     n_layers: Sequence[int] = (4, 4, 8, 8, 8)
     folded: bool = False
-    stem_s2d: bool = True
+    # Measured on v5e (round 3): the packed stem is ~2.3 ms SLOWER than
+    # XLA's own handling of the 36-ch stride-2 conv (the packing transpose
+    # materializes a second full-res copy); default off, kept as a
+    # documented experiment switch.
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -281,9 +285,7 @@ class HarDNet(nn.Module):
         blks = len(self.n_layers)
 
         # Stem (hardnet.py:274-280); base indices mirror the torch ModuleList
-        # so the weight importer maps by position. The two stride-2 convs
-        # use the space-to-depth formulation (same params): the wide
-        # full-res stem input tiles poorly on the MXU lane axis otherwise.
+        # so the weight importer maps by position.
         x = x.astype(self.dtype)
         x = ConvLayer(self.first_ch[0], kernel=3, stride=2, dtype=self.dtype,
                       folded=self.folded, s2d=self.stem_s2d,

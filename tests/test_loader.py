@@ -130,3 +130,22 @@ def test_prefetch_abandoned_iterator_stops_producer():
     it = iter(loader)
     next(it)
     it.close()  # must not deadlock or leak a blocked producer
+
+
+def test_prefetch_slow_consumer_terminates():
+    """Regression: the end-of-epoch sentinel must be delivered even when
+    the queue is full because the consumer is mid-step. A best-effort
+    0.1 s sentinel put used to be dropped, deadlocking the consumer's
+    next q.get() forever (hit by the trainer as soon as prefetch became
+    the default)."""
+    import time
+
+    from panoptic_forecasting_tpu.data.loader import _background_prefetch
+
+    items = list(range(5))
+    got = []
+    it = _background_prefetch(iter(items), depth=1)
+    for x in it:
+        time.sleep(0.3)  # keep the queue full while the producer finishes
+        got.append(x)
+    assert got == items
