@@ -168,119 +168,40 @@ def test_full_chain(world):
     assert np.isfinite(results["All"]["pq"])
     assert results["All"]["n"] >= 1
 
-    # ---- 6. fused serving path == staged export ---------------------------
-    # The single-jit forecast (eval/forecast.py) fed the same raw inputs and
-    # the same trained weights must reproduce the staged per-stage export
-    # chain's panoptic PNGs. The staged chain round-trips the reprojection
-    # through PNG/h5 interfaces ((depth+1)*256 uint16 quantization,
-    # prepare_bg_data), and fused/staged are different XLA programs (fp-level
-    # logit ties may flip an argmax) — so stuff pixels get a small mismatch
-    # allowance; segment id sets must agree exactly.
-    _assert_fused_matches_export(
-        world, bg_cfg, bg_dir, fg_cfg, fg_dir, pc_cfg, odom_dir, pred_dir
-    )
-
-
-def _assert_fused_matches_export(world, bg_cfg, bg_dir, fg_cfg, fg_dir,
-                                 pc_cfg, odom_dir, pred_dir):
-    import jax.numpy as jnp
-
-    from panoptic_forecasting_tpu.cli.common import restore_params
-    from panoptic_forecasting_tpu.core import build_dataset, build_model
-    from panoptic_forecasting_tpu.data.cityscapes import id_to_train_id_lut
+    # ---- 6. fused serving CLI == staged export ----------------------------
+    # The single-jit forecast CLI (cli/forecast_fused.py) fed the same raw
+    # inputs and the same trained weights must reproduce the staged
+    # per-stage export chain's panoptic PNGs. The staged chain round-trips
+    # the reprojection through PNG/h5 interfaces ((depth+1)*256 uint16
+    # quantization, prepare_bg_data), and fused/staged are different XLA
+    # programs (fp-level logit ties may flip an argmax) — so stuff pixels
+    # get a small mismatch allowance; segment id sets must agree exactly.
+    from panoptic_forecasting_tpu.cli import forecast_fused
     from panoptic_forecasting_tpu.data.io import load_png
-    from panoptic_forecasting_tpu.eval.forecast import build_forecast_step
-    from panoptic_forecasting_tpu.eval.panoptic_protocol import (
-        relabel_panoptic_trainid_to_labelid,
-    )
     from panoptic_forecasting_tpu.eval.pq import decode_panoptic_png
 
-    def load_cfg(path, wd):
-        with open(path) as f:
-            c = yaml.safe_load(f)
-        c["working_dir"] = wd
-        return c
-
-    # Same build path as the CLIs -> identical weights (trained bg
-    # checkpoint; fg fresh-init from the same seed the export used).
-    bg_c = load_cfg(bg_cfg, bg_dir)
-    bg_data = build_dataset(bg_c, test=True)
-    bg_model = build_model(bg_c, bg_data.card)
-    bg_vars = restore_params(bg_c, bg_model, bg_data)
-
-    fg_c = load_cfg(fg_cfg, fg_dir)
-    fg_data = build_dataset(fg_c, test=True)
-    fg_model = build_model(fg_c, fg_data.card)
-    fg_vars = restore_params(fg_c, fg_model, fg_data)
-
-    # Raw per-frame reprojection inputs, keyed by target frame name.
-    pc_c = load_cfg(pc_cfg, os.path.join(world["root"], "runs", "pc"))
-    pc_data = build_dataset(pc_c, test=True)
-    lut = id_to_train_id_lut()
-    pc_items = {}
-    for batch in pc_data.loader("val", pc_c, test=True):
-        meta = batch["meta"]
-        for i in range(len(meta["city"])):
-            name = (f"{meta['city'][i]}_{meta['seq'][i]}_"
-                    f"{int(meta['target_frame'][i]):06d}")
-            inp = batch["inputs"]
-            pc_items[name] = {
-                # staged chain reprojects labelIds then converts
-                # (prepare_bg_data); reprojecting trainIds directly is
-                # equivalent up to depth ties
-                "seg": lut[
-                    np.clip(np.asarray(inp["seg"][i : i + 1]), 0, 255)
-                ].astype(np.int32),
-                "depth": np.asarray(inp["depth"][i : i + 1], np.float32),
-                "depth_mask": np.asarray(inp["depth_mask"][i : i + 1]),
-                "intrinsics": np.asarray(
-                    inp["intrinsics"][i : i + 1], np.float32
-                ),
-                "extrinsics": np.asarray(
-                    inp["extrinsics"][i : i + 1], np.float32
-                ),
-                "target_T": np.asarray(inp["target_T"][i : i + 1],
-                                       np.float32),
-            }
-    assert pc_items
-
-    fg_keys = ("trajectories", "bbox_masks", "bbox_vel_masks", "depths",
-               "depth_masks", "feats", "odometry", "classes", "valid")
-    step = None
-    compared = 0
-    for batch in fg_data.loader("val", fg_c, test=True):
-        meta = batch["meta"]
-        out_t = int(np.asarray(batch["labels"]["trajectories"]).shape[2])
-        if step is None:
-            step = build_forecast_step(
-                bg_model, fg_model, height=H, width=W, out_t=out_t
-            )
-        for i in range(len(meta["city"])):
-            name = (f"{meta['city'][i]}_{meta['seq'][i]}_"
-                    f"{int(meta['target_frame'][i]):06d}")
-            if name not in pc_items:
-                continue
-            fg_in = {
-                k: jnp.asarray(np.asarray(batch["inputs"][k])[i : i + 1])
-                for k in fg_keys
-            }
-            fg_in["output_inds"] = jnp.asarray(
-                np.asarray(batch["labels"]["output_inds"])[i : i + 1]
-            )
-            fused = step(
-                bg_vars, fg_vars,
-                {k: jnp.asarray(v) for k, v in pc_items[name].items()},
-                fg_in,
-            )
-            got = relabel_panoptic_trainid_to_labelid(
-                np.asarray(fused["panoptic"][0]).astype(np.int64)
-            )
-            want = decode_panoptic_png(
-                load_png(os.path.join(pred_dir,
-                                      f"{name}_pred_panoptic.png"))
-            )
-            assert set(np.unique(got)) == set(np.unique(want)), name
-            mismatch = float((got != want).mean())
-            assert mismatch < 0.02, f"{name}: {mismatch:.2%} pixels differ"
-            compared += 1
-    assert compared >= 2, "fused-vs-export comparison covered no scenes"
+    forecast_fused.main([
+        "--working_dir", fg_dir, "--config_file", fg_cfg,
+        "--set", "fused.bg_config", bg_cfg,
+        "--set", "fused.bg_dir", bg_dir,
+        "--set", "fused.pc_config", pc_cfg,
+        "--set", "fused.height", str(H),
+        "--set", "fused.width", str(W),
+    ])
+    fused_dir = os.path.join(
+        fg_dir, "fused_panoptics_val", "fused_panoptics_val"
+    )
+    fused_pngs = sorted(glob.glob(os.path.join(fused_dir, "*.png")))
+    assert len(fused_pngs) >= 2, "fused CLI exported no frames"
+    for path in fused_pngs:
+        staged_path = os.path.join(pred_dir, os.path.basename(path))
+        assert os.path.exists(staged_path), staged_path
+        got = decode_panoptic_png(load_png(path))
+        want = decode_panoptic_png(load_png(staged_path))
+        assert set(np.unique(got)) == set(np.unique(want)), path
+        mismatch = float((got != want).mean())
+        assert mismatch < 0.02, f"{path}: {mismatch:.2%} pixels differ"
+    with open(os.path.join(
+        fg_dir, "fused_panoptics_val", "fused_panoptics_val.json"
+    )) as f:
+        assert len(json.load(f)["annotations"]) == len(fused_pngs)
