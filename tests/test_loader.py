@@ -149,3 +149,30 @@ def test_prefetch_slow_consumer_terminates():
         time.sleep(0.3)  # keep the queue full while the producer finishes
         got.append(x)
     assert got == items
+
+
+def test_threaded_fetch_overlaps_decode_cost():
+    """The parallel input pipeline must actually deliver parallelism: with a
+    realistic per-sample decode cost (sleep stands in for PNG/zlib work,
+    which releases the GIL in the native module), the threaded+prefetch
+    loader finishes an epoch at least 2x faster than the synchronous one
+    (reference configs run 2-8 DataLoader workers for the same reason,
+    configs/bg/bg_train.yaml num_data_workers)."""
+    import time
+
+    class _Slow(_DS):
+        def __getitem__(self, i):
+            time.sleep(0.01)
+            return super().__getitem__(i)
+
+    ds = _Slow(64)
+    t0 = time.perf_counter()
+    n_sync = sum(1 for _ in Loader(ds, batch_size=8))
+    t_sync = time.perf_counter() - t0
+    fast = Loader(ds, batch_size=8, prefetch=2, num_threads=8)
+    t0 = time.perf_counter()
+    n_fast = sum(1 for _ in fast)
+    t_fast = time.perf_counter() - t0
+    assert n_sync == n_fast == 8
+    assert t_sync >= 0.6  # 64 x 10 ms decode, serial
+    assert t_fast * 2 < t_sync, (t_fast, t_sync)
