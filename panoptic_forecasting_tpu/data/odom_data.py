@@ -31,6 +31,13 @@ class OdomDataset:
         self.split = split
         self.test = test
         use_orbslam = bool(d.get("use_orbslam_odom"))
+        # Optional per-input-frame video frames (odom_dataset.py:130-148;
+        # unused by every shipped config). Images resize so the SHORT side
+        # equals min_img_len (torchvision Resize semantics) and come back
+        # (T_in, h, w, 3) float32 in [0, 1].
+        self.load_imgs = bool(d.get("load_imgs"))
+        self.min_img_len = d.get("min_img_len")
+        self.cityscapes_dir = d.get("cityscapes_dir")
 
         import pandas as pd
 
@@ -78,7 +85,7 @@ class OdomDataset:
             out = odom[self.input_len :]
             start_frame = int(inds[self.input_len - 1])
         rec = self.frame.iloc[row]
-        return {
+        result = {
             "inputs": {"odometry": inp.astype(np.float32)},
             "labels": {"odometry": out.astype(np.float32)},
             "meta": {
@@ -88,3 +95,43 @@ class OdomDataset:
                 "start_frame": start_frame,
             },
         }
+        if self.load_imgs:
+            result["inputs"]["imgs"] = self._load_imgs(rec, start, inds)
+        return result
+
+    def _load_imgs(self, rec, start: int, inds: np.ndarray) -> np.ndarray:
+        """Input-frame video images, short-history samples repeat-padded at
+        the front (odom_dataset.py:130-148)."""
+        from .io import load_png
+
+        img_inds = inds[: self.input_len + (start if start < 0 else 0)]
+        imgs = []
+        for ind in img_inds:
+            fr = int(rec["frame"]) - 19 + int(ind)
+            path = os.path.join(
+                self.cityscapes_dir, "leftImg8bit_sequence", self.split,
+                rec["city"],
+                f"{rec['city']}_{rec['seq']}_{fr:06d}_leftImg8bit.png",
+            )
+            img = load_png(path).astype(np.float32) / 255.0
+            if self.min_img_len:
+                img = _resize_short_side(img, int(self.min_img_len))
+            imgs.append(img)
+        if start < 0:
+            imgs = [imgs[0]] * (-start) + imgs
+        return np.stack(imgs)
+
+
+def _resize_short_side(img: np.ndarray, min_len: int) -> np.ndarray:
+    """Bilinear resize so the short side equals ``min_len`` (torchvision
+    transforms.Resize(int) semantics)."""
+    h, w = img.shape[:2]
+    if h <= w:
+        nh, nw = min_len, max(1, round(w * min_len / h))
+    else:
+        nh, nw = max(1, round(h * min_len / w)), min_len
+    if (nh, nw) == (h, w):
+        return img
+    import cv2
+
+    return cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)

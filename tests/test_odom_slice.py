@@ -153,3 +153,43 @@ def test_profiler_trace_capture(odom_cfg, tmp_path):
                         recursive=True) + _glob.glob(
         os.path.join(prof, "**", "*.xplane.pb"), recursive=True)
     assert traces, f"no trace files under {prof}"
+
+
+def test_dataset_load_imgs(odom_cfg, tmp_path):
+    """Optional per-input-frame video loading (odom_dataset.py:130-148):
+    images resized so the short side hits min_img_len, short-history
+    samples repeat-padded at the front."""
+    from panoptic_forecasting_tpu.data.io import save_png
+    from panoptic_forecasting_tpu.data.odom_data import OdomDataset
+    from panoptic_forecasting_tpu.data.cards import DataCard
+
+    cfg = {k: (dict(v) if isinstance(v, dict) else v)
+           for k, v in odom_cfg.items()}
+    cs = tmp_path / "cityscapes"
+    cfg["data"] = dict(
+        cfg["data"], load_imgs=True, min_img_len=16,
+        cityscapes_dir=str(cs),
+    )
+    import pandas as pd
+    tbl = pd.read_pickle(
+        os.path.join(cfg["data"]["data_dir"], "train_3d_info.pkl")
+    )
+    rng = np.random.RandomState(0)
+    for _, rec in tbl.iterrows():
+        d = cs / "leftImg8bit_sequence" / "train" / rec["city"]
+        d.mkdir(parents=True, exist_ok=True)
+        for fr in range(int(rec["frame"]) - 19, int(rec["frame"]) + 11):
+            save_png(
+                str(d / f"{rec['city']}_{rec['seq']}_{fr:06d}_leftImg8bit.png"),
+                rng.randint(0, 255, (32, 64, 3), dtype=np.uint8),
+            )
+    ds = OdomDataset("train", cfg, DataCard("odom"))
+    s = ds[0]
+    imgs = s["inputs"]["imgs"]
+    assert imgs.shape == (9, 16, 32, 3)  # short side 16, aspect kept
+    assert imgs.dtype == np.float32 and 0.0 <= imgs.min() <= imgs.max() <= 1.0
+    # short-history sample: first frames repeat-padded
+    padded = ds[13]
+    pi = padded["inputs"]["imgs"]
+    assert pi.shape == (9, 16, 32, 3)
+    np.testing.assert_array_equal(pi[0], pi[1])
