@@ -120,7 +120,7 @@ def measure_tpu_stages(k: int = K) -> dict:
         )
         return zbuffer_splat(
             uv2.reshape(-1, 2), z2.reshape(-1), seg.reshape(-1),
-            valid.reshape(-1), height=H, width=W,
+            valid.reshape(-1), height=H, width=W, sort_runs=T_IN,
         )
 
     results["pc_ms"] = _timed(scan_loop(pc_forecast), (depth,), k) * 1e3

@@ -1,48 +1,48 @@
-"""Pallas TPU kernel: place a sorted (group, key) stream into a dense canvas.
+"""Pallas TPU kernel: place sorted (group, key) runs into a dense min-canvas.
 
 This is the second half of the packed z-buffer splat
 (kernels/zbuffer.py, reference capability torch_scatter.scatter_min at
-pc_transform_model.py:100-139). After ``lax.sort`` the winner of every
-canvas group is the group's smallest packed key, so "scatter the winners"
-is exactly: ``canvas[g] = key[first entry of run(g)]``.
+pc_transform_model.py:100-139). XLA's scatter lowers to a serialized
+per-update loop on TPU (~40 ms for 6.3M points at Cityscapes scale —
+measured round 2); this kernel streams the sorted point list through a
+one-hot-matmul placement instead (~40 ms -> ~6-11 ms, bit-identical).
 
-XLA's scatter lowers this to a serialized per-update loop on TPU (~40 ms
-for 6.3M points at Cityscapes scale — measured round 2). This kernel
-replaces it with a streaming one-hot-matmul placement that exploits the
-sort order:
+Design (v2 — round 3; v1 summed byte-planes and required ONE globally
+sorted stream):
 
-  * Winner keys are unique per group (losers are pre-masked to 0 using
-    run-start flags), so "place" = per-pixel SUM of one-hot-selected
-    keys — an MXU matmul, not a VPU scatter.
-  * Keys are split (in-kernel) into four bytes lifted to bfloat16
-    (integers <= 255 are exact in bf16), so the f32 matmul accumulators
-    reproduce the int32 key bit-exactly.
-  * The canvas is cut into supertiles of ``sw`` pixels; a flattened
-    (supertile, input-block) chunk list — built host-free in XLA with one
-    searchsorted over supertile boundaries — drives a 1-D grid via scalar
-    prefetch. Input blocks stream double-buffered; each supertile's
-    output row block accumulates in VMEM across revisited steps. EMPTY
-    supertiles get no chunks: their rows keep the zeros of an aliased
-    zero input buffer (critical for sparse plane-major canvases — the
-    per-frame fused forecast leaves 3 of 4 corner planes nearly empty).
+  * The stream is ``runs`` independently sorted equal-length segments
+    (lex order (group, key) within each run). Per-frame sorting is ~30%
+    cheaper than one global sort (lax.sort is superlinear: 3x2.1M = 11.4
+    ms vs 6.3M = 16.8 ms on v5e) and different runs may target the SAME
+    groups — the canvas combines everything with a per-group MIN.
+  * Within a run, each group's first entry is its run-winner (keys
+    ascend inside a group run); losers are pre-masked to 0. A one-hot
+    compare of a sub-chunk's groups against a window of canvas slots
+    turns "place the winners" into an MXU matmul: winner keys are split
+    into four bf16 byte planes (exact for bytes), the (4, sub) @
+    (sub, win) dots reassemble into exact int32 keys in-kernel.
+  * The canvas accumulator is the int32 output block itself (aliased to
+    a BIG-filled buffer): each sub-chunk's reassembled (win) contribution
+    combines with ``min`` (empty slots carry BIG). Min is idempotent, so
+    overlapping windows, duplicate coverage, and cross-run revisits are
+    all safe by construction — no exactness guard needed (v1's summed
+    planes required strict once-per-entry accounting).
+  * The canvas is cut into supertiles of ``sw`` slots; a flattened
+    (supertile, run, input-block) chunk list — built host-free with one
+    searchsorted per run — drives a 1-D grid via scalar prefetch. Chunks
+    are supertile-major, so each supertile's int32 output block stays in
+    VMEM across its revisits; supertiles with no chunks keep the BIG
+    fill of the aliased input (returned as EMPTY).
   * Within a block, each ``sub``-entry sub-chunk multiplies against one
-    ``win``-lane window around its sorted group range. Per-sub-chunk
-    issue overhead (scalar reads, dynamic-slice RMW) dominates at
-    sub=128 (measured round 3), so ``sub`` is a tunable: bigger
-    sub-chunks amortize the overhead at the cost of a wider window
-    (span grows with sub/density). Rare wide spans (sparse regions,
-    supertile boundaries) take a per-STEP slow path behind a single
-    predicate — per-sub-chunk dynamic loops cost ~18 ms in bare loop
-    setup (measured), so the fast path must contain none.
-  * Entries outside a window simply fail the equality compare
-    (self-masking): stray neighbours from block rounding and the
-    sentinel padding (group = INT32_MAX) contribute zero.
-  * Output rows are (window-row, byte) pairs so the read-modify-write
-    slides along the cheap sublane axis, never the lane axis.
+    ``win``-lane window around its sorted group range. Entries outside
+    the window self-mask (the equality compare fails). Rare wide spans
+    (sparse regions, supertile boundaries) take a per-STEP slow path
+    behind a single predicate with ENTRY-ANCHORED windows — per-sub-chunk
+    dynamic loops cost ~18 ms in bare loop setup (measured round 2), so
+    the fast path contains none.
 
-Empirically on v5e at 6.3M points: ~40 ms XLA scatter → ~7 ms (round 2,
-sub=128/sw=8192) → see docs/perf_notes.md for the round-3 sweep; the
-result is bit-identical throughout.
+Empirically on v5e at 6.3M points: ~40 ms XLA scatter -> ~7 ms (v1) ->
+see docs/perf_notes.md for v2; bit-identical throughout.
 """
 
 from __future__ import annotations
@@ -59,7 +59,7 @@ _BIG = 0x7FFFFFFF
 
 LANE = 128  # output lane width / window alignment unit
 SUB = 128   # default entries per sub-chunk (see `sub` arg)
-WIN = 384   # default fast-path window width (pixels)
+WIN = 384   # default fast-path window width (canvas slots)
 
 
 def _bytes4(row):
@@ -78,15 +78,36 @@ def _bytes4(row):
 _DN = (((1,), (0,)), ((), ()))  # (4, S) @ (S, LANE) -> (4, LANE)
 
 
+def _contrib_i32(kb_i, hit, win):
+    """Reassembled int32 winner keys for one window: (win//LANE, LANE).
+
+    kb_i: (4, sub) bf16 byte planes of the masked keys; hit: (sub, win)
+    bf16 one-hot. Each byte-plane dot is exact (bytes <= 255 in bf16,
+    f32 accumulate), and biased keys are < 2^31 so the top byte is
+    <= 0x7F — the shift-or below cannot overflow int32. Slots with no
+    winner come back 0.
+    """
+    rows = []
+    for s in range(win // LANE):
+        c = jax.lax.dot_general(
+            kb_i, hit[:, s * LANE : (s + 1) * LANE], _DN,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # (4, LANE) exact ints
+        rows.append(
+            (c[0:1] << 24) | (c[1:2] << 16) | (c[2:3] << 8) | c[3:4]
+        )
+    return jnp.concatenate(rows, axis=0)
+
+
 def _kernel(tid_ref, blk_ref, fst_ref, sflag_ref, win_ref, g_ref, k_ref,
-            zero_ref, out_ref, *, sw, nsub_in, sub, win):
-    del zero_ref  # alias source of out_ref; only its HBM zeros matter
+            big_ref, out_ref, *, sw, nsub_in, sub, win):
+    del big_ref  # alias source of out_ref; only its HBM fill matters
     j = pl.program_id(0)
     nsub_out = sw // LANE
 
     @pl.when(fst_ref[j] == 1)
     def _():
-        out_ref[...] = jnp.zeros((1, nsub_out * 4, LANE), jnp.float32)
+        out_ref[...] = jnp.full((1, nsub_out, LANE), _BIG, jnp.int32)
 
     base = tid_ref[j] * sw
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1)
@@ -96,34 +117,27 @@ def _kernel(tid_ref, blk_ref, fst_ref, sflag_ref, win_ref, g_ref, k_ref,
         g_i = g_ref[0, :, i : i + 1]  # (sub, 1) sorted groups
         kb_i = _bytes4(k_ref[0, i : i + 1, :])  # (4, sub) bf16 key bytes
 
-        # One window covers the typical sorted span (self-masking for
-        # strays/sentinels). win//LANE dots -> (4*win//LANE, LANE)
-        # stacked (window-row, byte) block added at a dynamic SUBLANE
-        # offset.
+        # One window covers the typical sorted span (strays/sentinels
+        # self-mask). The reassembled int32 contribution min-combines
+        # into the output rows at a dynamic SUBLANE offset; empty slots
+        # (0) are lifted to BIG first so they never beat a winner.
         hit = (g_i == (base + w0 + lane_w)).astype(jnp.bfloat16)
-        contrib = jnp.concatenate(
-            [
-                jax.lax.dot_general(
-                    kb_i, hit[:, s * LANE : (s + 1) * LANE], _DN,
-                    preferred_element_type=jnp.float32,
-                )
-                for s in range(win // LANE)
-            ],
-            axis=0,
-        )
-        row0 = (w0 // LANE) * 4
-        cur = out_ref[0, pl.ds(row0, 4 * (win // LANE)), :]
-        out_ref[0, pl.ds(row0, 4 * (win // LANE)), :] = cur + contrib
+        c32 = _contrib_i32(kb_i, hit, win)
+        c32 = jnp.where(c32 == 0, jnp.int32(_BIG), c32)
+        row0 = w0 // LANE
+        cur = out_ref[0, pl.ds(row0, win // LANE), :]
+        out_ref[0, pl.ds(row0, win // LANE), :] = jnp.minimum(cur, c32)
 
     # Slow path for sub-chunks with entries beyond the fast window. The
     # windows are ENTRY-ANCHORED: each iteration jumps straight to the
     # first not-yet-covered entry's window, so a sub-chunk crossing an
     # empty canvas gap costs ~#clusters iterations, not #subtiles-in-gap
     # (a range sweep burned ~45K mostly-empty windows on real scenes).
-    # The entry threshold (g > end) keeps the one-hot sums exact even
-    # when windows overlap after alignment. One predicate per STEP plus
-    # one per flagged sub-chunk — bare per-sub-chunk dynamic loops cost
-    # ~18 ms in loop setup alone (measured).
+    # Min-combining is idempotent, so windows may overlap previously
+    # covered entries freely (v1's summed planes needed a g > end
+    # threshold here). One predicate per STEP plus one per flagged
+    # sub-chunk — bare per-sub-chunk dynamic loops cost ~18 ms in loop
+    # setup alone (measured).
     @pl.when(sflag_ref[j] == 1)
     def _():
         for i in range(nsub_in):
@@ -147,23 +161,16 @@ def _kernel(tid_ref, blk_ref, fst_ref, sflag_ref, win_ref, g_ref, k_ref,
                     rel = jnp.clip(
                         ((wn - base) // LANE) * LANE, 0, sw - win
                     )
-                    hit = (
-                        (g_i == (base + rel + lane_w)) & (g_i > end)
-                    ).astype(jnp.bfloat16)
-                    contrib = jnp.concatenate(
-                        [
-                            jax.lax.dot_general(
-                                kb_i, hit[:, s * LANE : (s + 1) * LANE],
-                                _DN, preferred_element_type=jnp.float32,
-                            )
-                            for s in range(win // LANE)
-                        ],
-                        axis=0,
+                    hit = (g_i == (base + rel + lane_w)).astype(
+                        jnp.bfloat16
                     )
-                    row0 = (rel // LANE) * 4
-                    nrows = 4 * (win // LANE)
-                    cur = out_ref[0, pl.ds(row0, nrows), :]
-                    out_ref[0, pl.ds(row0, nrows), :] = cur + contrib
+                    c32 = _contrib_i32(kb_i, hit, win)
+                    c32 = jnp.where(c32 == 0, jnp.int32(_BIG), c32)
+                    row0 = rel // LANE
+                    cur = out_ref[0, pl.ds(row0, win // LANE), :]
+                    out_ref[0, pl.ds(row0, win // LANE), :] = jnp.minimum(
+                        cur, c32
+                    )
                     return base + rel + win - 1
 
                 jax.lax.while_loop(cond, body, base + w0 + win - 1)
@@ -171,22 +178,29 @@ def _kernel(tid_ref, blk_ref, fst_ref, sflag_ref, win_ref, g_ref, k_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_groups", "block", "sw", "interpret", "win", "sub"),
+    static_argnames=(
+        "num_groups", "block", "sw", "interpret", "win", "sub", "runs"
+    ),
 )
 def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
                  sw: int = 32768, interpret: bool = False, win: int = WIN,
-                 sub: int = SUB):
-    """Dense canvas from a sorted (group, key) stream.
+                 sub: int = SUB, runs: int = 1):
+    """Dense per-group min canvas from sorted (group, key) runs.
 
     Args:
-      group_s: (N,) int32, ascending; entries with values >= num_groups
-        (e.g. sentinels) are ignored.
+      group_s: (N,) int32 — ``runs`` equal-length segments, each
+        ascending; entries with values >= num_groups (e.g. sentinels)
+        are ignored. Different runs may contain the same groups: the
+        canvas is the min across all runs.
       key_s:   (N,) int32 packed keys in [0, 2^31 - 2], ascending within
-        each group run (i.e. the pair stream is lexicographically
-        sorted). Key 0 is a legitimate value: winners are biased by +1
-        internally so an untouched group (returned as EMPTY) is never
-        confused with a winning key of 0.
+        each group run of each segment (i.e. each segment is
+        lexicographically sorted). Key 0 is legitimate: winners are
+        biased by +1 internally so an untouched group (returned as
+        EMPTY) is never confused with a winning key of 0.
       num_groups: canvas size.
+      runs: number of independently sorted segments. N must divide into
+        ``runs`` segments whose length is a multiple of ``block`` (pad
+        each segment with group >= num_groups sentinels).
       block/sw/win/sub: tuning — entries per grid step, supertile width
         (<= 65536: window offsets pack into 16 bits), fast-window width
         (multiple of 128), entries per sub-chunk (divides block).
@@ -197,22 +211,35 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
     n = group_s.shape[0]
     assert block % sub == 0 and win % LANE == 0 and sw % LANE == 0
     assert sw <= 65536 and win <= sw
+    assert n % runs == 0, (n, runs)
+    rl = n // runs
+    pad_r = (-rl) % block
+    if pad_r:  # align each run to the block grid with self-masking sentinels
+        g2 = jnp.pad(
+            group_s.reshape(runs, rl), ((0, 0), (0, pad_r)),
+            constant_values=_BIG,
+        )
+        k2 = jnp.pad(key_s.reshape(runs, rl), ((0, 0), (0, pad_r)))
+        group_s, key_s = g2.reshape(-1), k2.reshape(-1)
+        rl += pad_r
+        n = runs * rl
     nsub_in = block // sub
     nsub_out = sw // LANE
-    # Winner mask: only each group's first (= smallest-key) entry keeps
-    # its key; losers contribute 0 to the one-hot sums. Winners are
-    # biased +1 (undone after the byte recombine) so key 0 stays
-    # distinguishable from "no entry" — the bias keeps every byte-plane
-    # value <= 255 since keys are capped at 2^31 - 2.
-    first = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), group_s[1:] != group_s[:-1]]
-    )
+    # Per-run winner mask: within a run only each group's first (=
+    # smallest-key) entry keeps its key; losers contribute 0 to the
+    # one-hot dots. Cross-run duplicates are resolved by the min
+    # accumulator. Winners are biased +1 (undone at the end) so key 0
+    # stays distinguishable from "no entry"; keys <= 2^31 - 2 keep every
+    # biased byte-plane value <= 255 and the top byte <= 0x7F.
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), group_s[:-1]])
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = (group_s != prev) | (idx % rl == 0)
     mkey = jnp.where(first, key_s + 1, 0)
 
     # Pad the stream with a full sentinel block so padding chunks always
-    # have a valid block to point at; pad the canvas to a supertile
-    # multiple.
-    npad = (-n) % block + block
+    # have a valid block to point at (it extends the LAST run, which is
+    # harmless: sentinels self-mask).
+    npad = block
     group_p = jnp.concatenate([group_s, jnp.full((npad,), _BIG, jnp.int32)])
     mkey_p = jnp.concatenate([mkey, jnp.zeros((npad,), jnp.int32)])
     ntot = n + npad
@@ -220,26 +247,43 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
     groups_pad = num_groups + (-num_groups) % sw
     n_super = groups_pad // sw
 
-    # --- chunk list -------------------------------------------------------
+    # --- chunk list: supertile-major, run-minor ---------------------------
+    # For each (supertile s, run r): the run's blocks overlapping s.
     bounds = jnp.arange(n_super + 1, dtype=jnp.int32) * sw
-    offs = jnp.searchsorted(group_p, bounds).astype(jnp.int32)
-    blk0 = offs[:-1] // block
-    blk1 = jnp.where(offs[1:] > offs[:-1], (offs[1:] - 1) // block, blk0)
-    # EMPTY supertiles get no chunks at all: their output rows are never
-    # visited and keep the zeros of the aliased output buffer.
-    counts = jnp.where(offs[1:] > offs[:-1], blk1 - blk0 + 1, 0)
-    maxchunks = n_super + nblocks  # static bound on sum(counts)
+    rblocks = rl // block
+    seg = group_p[: runs * rl].reshape(runs, rl)
+    offs = jax.vmap(lambda g: jnp.searchsorted(g, bounds))(seg)
+    offs = offs.astype(jnp.int32)  # (runs, n_super+1)
+    blk0_r = offs[:, :-1] // block  # run-local block index
+    blk1_r = jnp.where(
+        offs[:, 1:] > offs[:, :-1], (offs[:, 1:] - 1) // block, blk0_r
+    )
+    counts_rs = jnp.where(
+        offs[:, 1:] > offs[:, :-1], blk1_r - blk0_r + 1, 0
+    )  # (runs, n_super)
+    blk0_g = blk0_r + (
+        jnp.arange(runs, dtype=jnp.int32) * rblocks
+    )[:, None]  # global block ids
+    # Flatten supertile-major: cell (s, r).
+    counts = counts_rs.T.reshape(-1)  # (n_super*runs,)
+    blk0f = blk0_g.T.reshape(-1)
+    maxchunks = n_super * runs + nblocks  # static bound on sum(counts)
     cum = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
     )
     j = jnp.arange(maxchunks, dtype=jnp.int32)
-    tid = jnp.clip(
+    cell = jnp.clip(
         jnp.searchsorted(cum, j, side="right").astype(jnp.int32) - 1,
         0,
-        n_super - 1,
+        n_super * runs - 1,
     )
-    blks = jnp.clip(blk0[tid] + (j - cum[tid]), 0, nblocks - 1)
-    fst = (j == cum[tid]).astype(jnp.int32)
+    tid = cell // runs
+    blks = jnp.clip(blk0f[cell] + (j - cum[cell]), 0, nblocks - 1)
+    # First chunk of each SUPERTILE (across its runs) resets the block.
+    row_start = cum[
+        jnp.arange(n_super, dtype=jnp.int32) * runs
+    ]
+    fst = (j == row_start[tid]).astype(jnp.int32)
 
     # Per-(chunk, sub-chunk) fast-window offset + extra-window count,
     # packed into one int32 (w0 < 2^16 since sw <= 65536).
@@ -275,38 +319,35 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
                 (1, nsub_in, sub),
                 lambda i, tid, blk, fst, sf, win: (blk[i], 0, 0),
             ),
-            # zero buffer aliased to the output: supertiles with no chunks
-            # are never visited and keep these zeros.
+            # BIG-filled buffer aliased to the output: supertiles with no
+            # chunks are never visited and keep this fill (= EMPTY).
             pl.BlockSpec(
-                (1, nsub_out * 4, LANE),
+                (1, nsub_out, LANE),
                 lambda i, tid, blk, fst, sf, win: (tid[i], 0, 0),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, nsub_out * 4, LANE),
+            (1, nsub_out, LANE),
             lambda i, tid, blk, fst, sf, win: (tid[i], 0, 0),
         ),
     )
-    zeros = jnp.zeros((n_super, nsub_out * 4, LANE), jnp.float32)
-    sums = pl.pallas_call(
+    fill = jnp.full((n_super, nsub_out, LANE), _BIG, jnp.int32)
+    canvas = pl.pallas_call(
         functools.partial(
             _kernel, sw=sw, nsub_in=nsub_in, sub=sub, win=win
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_super, nsub_out * 4, LANE), jnp.float32
+            (n_super, nsub_out, LANE), jnp.int32
         ),
-        # index 7 = 5 scalar-prefetch args + gT + kN, then the zero buffer
+        # index 7 = 5 scalar-prefetch args + gT + kN, then the fill buffer
         input_output_aliases={7: 0},
         interpret=interpret,
-    )(tid, blks, fst, sflag, wins, gT, kN, zeros)
+    )(tid, blks, fst, sflag, wins, gT, kN, fill)
 
-    b = sums.reshape(n_super, nsub_out, 4, LANE).astype(jnp.int32)
-    canvas = (
-        (b[:, :, 0] << 24)
-        | (b[:, :, 1] << 16)
-        | (b[:, :, 2] << 8)
-        | b[:, :, 3]
-    ).reshape(-1)[:num_groups]
-    # 0 == untouched (real winners were biased to >= 1 above).
-    return jnp.where(canvas == 0, jnp.int32(EMPTY), canvas - 1)
+    canvas = canvas.reshape(-1)[:num_groups]
+    # BIG == untouched (real winners were biased to <= 2^31 - 1 above,
+    # and bias makes every winner >= 1, so BIG never collides).
+    return jnp.where(
+        canvas == _BIG, jnp.int32(EMPTY), canvas - 1
+    )

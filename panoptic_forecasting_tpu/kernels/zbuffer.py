@@ -85,7 +85,8 @@ def _shift_last(c: jnp.ndarray, off: int, fill) -> jnp.ndarray:
 
 
 def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
-                    height: int, width: int, placement: str = "scatter"):
+                    height: int, width: int, placement: str = "scatter",
+                    sort_runs: int = 1):
     """Single-sort packed z-buffer — the fast TPU path.
 
     Instead of sorting the 4-neighbor-expanded stream (4N entries × 4
@@ -156,13 +157,16 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
         jnp.arange(b, dtype=jnp.int32) * (4 * num_pixels)
     )[:, None]
 
-    group_s, key_s = jax.lax.sort(
-        (group.reshape(-1), key.reshape(-1)), num_keys=2
-    )
-
     if placement.startswith("pallas"):
         # Streaming Pallas placement (kernels/placement.py): ~4-8x faster
-        # than XLA scatter on TPU, bit-identical result.
+        # than XLA scatter on TPU, bit-identical result. The placement
+        # min-combines independently sorted RUNS, so the stream is split
+        # into b·sort_runs segments sorted SEQUENTIALLY (lax.sort is
+        # superlinear: 3x2.1M = 11.4 ms vs one 6.3M = 16.8 ms on v5e;
+        # batched/vmapped sorts are far slower still, docs/perf_notes.md).
+        # sort_runs > 1 segments a single canvas's point stream (e.g. the
+        # per-input-frame sub-streams of a combined reprojection) — the
+        # min across runs equals the global z-buffer by associativity.
         from .placement import place_sorted
 
         interp = placement == "pallas_interpret"
@@ -170,14 +174,32 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
         # use small blocks/supertiles so the unrolled sub-chunk loop stays
         # short. Same kernel logic either way.
         sizes = {"block": 512, "sw": 1024} if interp else {}
+        block = sizes.get("block", 4096)
+        n_per = group.shape[1]
+        r = b * sort_runs if n_per % sort_runs == 0 else b
+        if r > 8:  # bound op count / compile time
+            r = b if b <= 8 else 1
+        g2 = group.reshape(r, -1)
+        k2 = key.reshape(r, -1)
+        pad = (-g2.shape[1]) % block
+        if pad:  # sentinel groups sort to the end and self-mask
+            g2 = jnp.pad(g2, ((0, 0), (0, pad)), constant_values=EMPTY)
+            k2 = jnp.pad(k2, ((0, 0), (0, pad)))
+        parts = [
+            jax.lax.sort((g2[i], k2[i]), num_keys=2) for i in range(r)
+        ]
         canvas4 = place_sorted(
-            group_s,
-            key_s,
+            jnp.concatenate([p[0] for p in parts]),
+            jnp.concatenate([p[1] for p in parts]),
             num_groups=b * num_pixels * 4,
+            runs=r,
             interpret=interp,
             **sizes,
         )
     else:
+        group_s, key_s = jax.lax.sort(
+            (group.reshape(-1), key.reshape(-1)), num_keys=2
+        )
         # Within a group the packed keys are ascending, so each group's
         # FIRST element is its min: scatter run starts into the (B·4·P)
         # canvas (losers target an out-of-range slot and are dropped).
@@ -241,10 +263,12 @@ def _zbuffer_scatter(pix: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "method", "max_label")
+    jax.jit,
+    static_argnames=("height", "width", "method", "max_label", "sort_runs"),
 )
 def zbuffer_splat(uv, depth, label, valid, *, height: int, width: int,
-                  method: str = "auto", max_label: int = 255):
+                  method: str = "auto", max_label: int = 255,
+                  sort_runs: int = 1):
     """Forward-splat a point stream into a (H, W) label+depth canvas.
 
     Args:
@@ -260,6 +284,12 @@ def zbuffer_splat(uv, depth, label, valid, *, height: int, width: int,
         11000). ``method='auto'`` with ``max_label > 255`` routes to the
         exact (expanded-stream) sort path instead of silently aliasing;
         explicitly requesting a packed method then raises.
+      sort_runs: (pallas placement only) split each sample's point stream
+        into this many contiguous independently sorted segments — e.g. the
+        per-input-frame sub-streams of a combined reprojection. lax.sort
+        is superlinear, so several small sorts beat one big one; the
+        placement min-combines the runs, which equals the global z-buffer
+        by associativity of min. Must divide N.
 
     Returns:
       (label_canvas (..., H, W[, C]), depth_canvas (..., H, W)).
@@ -314,13 +344,14 @@ def zbuffer_splat(uv, depth, label, valid, *, height: int, width: int,
                 depth.reshape(-1, depth.shape[-1]),
                 label.reshape(-1, label.shape[-1]),
                 height, width, placement=placement,
+                sort_runs=sort_runs,
             )
             return (
                 lab.reshape(lead + (height, width)),
                 dep.reshape(lead + (height, width)),
             )
         return _zbuffer_packed(uv, depth, label, height, width,
-                               placement=placement)
+                               placement=placement, sort_runs=sort_runs)
 
     n = depth.shape[0]
 

@@ -92,6 +92,9 @@ def pc_transform_predict(seg, depth, depth_mask, K, extrinsics, target_T,
     )
     b = depth.shape[0]
     n = depth.shape[1] * height * width
+    # Each input frame's H·W points are contiguous in the flattened
+    # stream: sort them as independent runs (several small lax.sorts beat
+    # one big one; the Pallas placement min-combines the runs).
     lab, dep = zbuffer_splat(
         uv.reshape(b, n, 2),
         z.reshape(b, n),
@@ -100,6 +103,7 @@ def pc_transform_predict(seg, depth, depth_mask, K, extrinsics, target_T,
         height=height,
         width=width,
         method=method,
+        sort_runs=depth.shape[1],
     )
     return {"seg": lab, "depth": dep}
 

@@ -357,3 +357,57 @@ def test_zbuffer_packed_rejects_large_max_label():
     with pytest.raises(ValueError, match="alias"):
         zbuffer_splat(uv, depth, label, valid, height=4, width=4,
                       method="packed", max_label=512)
+
+
+def test_place_sorted_multi_run_min_combines():
+    """runs > 1: independently sorted segments targeting OVERLAPPING
+    groups must min-combine into the same canvas as one global
+    scatter-min (v2 multi-run contract, used by sort_runs splats)."""
+    from panoptic_forecasting_tpu.kernels.placement import place_sorted
+
+    rng = np.random.RandomState(13)
+    num_groups, runs, rl = 9000, 3, 2000
+    g = rng.randint(0, num_groups, runs * rl).astype(np.int32)
+    k = rng.randint(0, 2**30, runs * rl).astype(np.int32)
+    gs = g.reshape(runs, rl).copy()
+    ks = k.reshape(runs, rl).copy()
+    for r in range(runs):  # sort each run independently
+        order = np.lexsort((ks[r], gs[r]))
+        gs[r], ks[r] = gs[r][order], ks[r][order]
+    out = np.asarray(
+        place_sorted(
+            jnp.asarray(gs.reshape(-1)), jnp.asarray(ks.reshape(-1)),
+            num_groups=num_groups, runs=runs,
+            interpret=True, block=512, sw=1024,
+        )
+    )
+    ref = np.full(num_groups, 0x7FFFFFFF, np.int32)
+    np.minimum.at(ref, g, k)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_zbuffer_sort_runs_matches_global_sort():
+    """sort_runs segmentation (per-frame sorts + min-combining placement)
+    must equal the single-globally-sorted packed path exactly."""
+    rng = np.random.RandomState(21)
+    h, w, t = 16, 32, 3
+    n = t * h * w
+    uv = np.stack(
+        [rng.rand(n) * (w + 4) - 2, rng.rand(n) * (h + 4) - 2], axis=-1
+    )
+    depth = rng.rand(n).astype(np.float32) * 30 + 1
+    depth = (depth.view(np.int32) & np.int32(~0xFF)).view(np.float32)
+    label = rng.randint(0, 19, size=n).astype(np.int32)
+    valid = rng.rand(n) > 0.2
+    args = (
+        jnp.asarray(uv, jnp.float32)[None],
+        jnp.asarray(depth)[None],
+        jnp.asarray(label)[None],
+        jnp.asarray(valid)[None],
+    )
+    l1, d1 = zbuffer_splat(*args, height=h, width=w, method="packed")
+    l2, d2 = zbuffer_splat(
+        *args, height=h, width=w, method="pallas_interpret", sort_runs=t
+    )
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
