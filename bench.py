@@ -125,6 +125,37 @@ def measure_tpu_stages(k: int = K) -> dict:
 
     results["pc_ms"] = _timed(scan_loop(pc_forecast), (depth,), k) * 1e3
 
+    # The staged CHAIN cost: the bg model consumes THREE per-frame
+    # reprojections (the reference's ind0/1/2 exports feed
+    # configs/bg/bg_train.yaml), so the honest staged pipeline builds 3
+    # separate canvases (batched: one sort+placement pass), not the
+    # combined one. ``pc_ms`` above (combined canvas = the reference
+    # model's no-ind predict, pc_transform_model.py:33-150) is kept for
+    # the model benchmark and the CPU-baseline comparison.
+    def pc_forecast_perframe(depth, salt):
+        depth = depth + 0.001 * salt
+        uv = pixel_grid(H, W)
+        Ts = unicycle_now_T_prev(speeds, yaws, 0.18)
+        pts = backproject_pixels(uv[None], depth, INTR)
+        pts = jax.vmap(transform_points)(
+            Ts.astype(jnp.float32), pts.reshape(T_IN, -1, 3)
+        )
+        uv2, z2 = project_points(pts, INTR)
+        valid = (
+            (z2 > 0)
+            & (uv2[..., 0] >= 0) & (uv2[..., 0] < W)
+            & (uv2[..., 1] >= 0) & (uv2[..., 1] < H)
+        )
+        return zbuffer_splat(
+            uv2.reshape(T_IN, -1, 2), z2.reshape(T_IN, -1),
+            seg.reshape(T_IN, -1), valid.reshape(T_IN, -1),
+            height=H, width=W,
+        )
+
+    results["pc_stage_ms"] = (
+        _timed(scan_loop(pc_forecast_perframe), (depth,), k) * 1e3
+    )
+
     # ---- 2. bg ----
     net = HarDNet(n_classes=11)
     x_bg = jnp.asarray(rng.rand(1, H, W, 36).astype(np.float32))
@@ -187,7 +218,12 @@ def measure_tpu_stages(k: int = K) -> dict:
 
     results["fusion_ms"] = _timed(scan_loop(fuse), (masks,), k) * 1e3
 
-    results["total_ms"] = sum(results.values())
+    # Staged chain = per-frame pc canvases (what bg consumes) + bg + fg
+    # + fusion; the combined-canvas pc_ms is a separate model benchmark.
+    results["total_ms"] = (
+        results["pc_stage_ms"] + results["bg_ms"] + results["fg_ms"]
+        + results["fusion_ms"]
+    )
     results["e2e_fps"] = 1000.0 / results["total_ms"]
     return results
 
@@ -558,19 +594,29 @@ def main() -> None:
             "fused_fps": round(1000.0 / fused_ms, 3),
         }
 
+    # Headline = the fastest serving path. Since round 3 that is the
+    # single-jit fused forecast (eval/forecast.py, one XLA program for
+    # pc+bg+fg+fusion); the staged per-stage chain is reported alongside
+    # as staged_fps. If the fused measurement failed, fall back to staged.
+    best_fps = tpu["e2e_fps"]
+    if fused.get("fused_ms", -1.0) > 0:
+        best_fps = max(best_fps, fused["fused_fps"])
     record = {
         "metric": "e2e_forecast_fps",
-        "value": round(tpu["e2e_fps"], 3),
+        "value": round(best_fps, 3),
         "unit": "frames/sec (pc+bg+fg+fusion panoptic forecast, 1024x2048)",
+        "staged_fps": round(tpu["e2e_fps"], 3),
         "stages_ms": {
             s: round(tpu[s], 3)
-            for s in ("pc_ms", "bg_ms", "fg_ms", "fusion_ms")
+            for s in (
+                "pc_ms", "pc_stage_ms", "bg_ms", "fg_ms", "fusion_ms"
+            )
         },
         **fused,
     }
     try:
         base = measure_reference_cpu()
-        record["vs_baseline"] = round(tpu["e2e_fps"] / base["e2e_fps"], 2)
+        record["vs_baseline"] = round(best_fps / base["e2e_fps"], 2)
         record["baseline_fps"] = round(base["e2e_fps"], 4)
         record["baseline_stages_ms"] = {
             s: round(base[s], 1)

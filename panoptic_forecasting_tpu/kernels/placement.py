@@ -183,7 +183,7 @@ def _kernel(tid_ref, blk_ref, fst_ref, sflag_ref, win_ref, g_ref, k_ref,
     ),
 )
 def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
-                 sw: int = 32768, interpret: bool = False, win: int = WIN,
+                 sw: int = 65536, interpret: bool = False, win: int = WIN,
                  sub: int = SUB, runs: int = 1):
     """Dense per-group min canvas from sorted (group, key) runs.
 
