@@ -570,7 +570,9 @@ def _run_tpu_subprocess(mode: str, timeout: int = 300, retries: int = 1):
 
 
 def main() -> None:
-    line = _run_tpu_subprocess("--stages-only")
+    # 420 s: covers a cold compile of both pc variants (combined +
+    # per-frame) through the tunnel; warm-cache repeats take ~60 s.
+    line = _run_tpu_subprocess("--stages-only", timeout=420)
     if line is None:
         print(json.dumps({
             "metric": "e2e_forecast_fps", "value": -1.0,

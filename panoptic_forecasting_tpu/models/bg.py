@@ -86,13 +86,24 @@ class BGModel(TaskModel):
         return oh * mask[..., None]
 
     def _assemble(self, seg, depth, depth_mask) -> jax.Array:
-        """-> (B, H, W, T*C [+T]) network input."""
+        """-> (B, H, W, T*C [+T]) network input.
+
+        The T axis is transposed on the INT map before one-hot expansion:
+        relaying out the (B, T, H, W) int32 costs C× less HBM traffic
+        than relaying the (B, T, H, W, C) one-hot (~0.7 ms at bench
+        scale), and one-hot along a trailing new axis needs no layout
+        change at all.
+        """
+        seg_t = jnp.transpose(seg, (0, 2, 3, 1))  # (B, H, W, T) int
         if self.convert2onehot:
-            x = self._inp2onehot(seg)  # (B, T, H, W, C)
+            mask = seg_t < self.num_classes
+            safe = jnp.where(mask, seg_t, 0)
+            x = jax.nn.one_hot(safe, self.num_classes, dtype=jnp.float32)
+            x = x * mask[..., None]  # (B, H, W, T, C)
         else:
-            x = seg[..., None].astype(jnp.float32)
-        b, t, h, w, c = x.shape
-        x = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, t * c)
+            x = seg_t[..., None].astype(jnp.float32)
+        b, h, w, t, c = x.shape
+        x = x.reshape(b, h, w, t * c)
         if self.use_depth_inps:
             dep = (depth - self.depth_mean) / self.depth_std
             dep = dep * depth_mask.astype(dep.dtype)
