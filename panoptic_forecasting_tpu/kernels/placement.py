@@ -104,6 +104,7 @@ def _kernel(tid_ref, blk_ref, fst_ref, sflag_ref, win_ref, g_ref, k_ref,
     del big_ref  # alias source of out_ref; only its HBM fill matters
     j = pl.program_id(0)
     nsub_out = sw // LANE
+    nsub2 = nsub_in // 2
 
     @pl.when(fst_ref[j] == 1)
     def _():
@@ -112,8 +113,16 @@ def _kernel(tid_ref, blk_ref, fst_ref, sflag_ref, win_ref, g_ref, k_ref,
     base = tid_ref[j] * sw
     lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, win), 1)
 
+    def subinfo(i):
+        # Two sub-chunks pack into one SMEM word (16 bits each:
+        # LANE-aligned window offset in 9 bits + slow flag in bit 9) —
+        # halves the scalar-prefetch footprint, which is what bounds the
+        # batched-serving canvas count (~1 MB SMEM budget).
+        v = (win_ref[j * nsub2 + i // 2] >> (16 * (i % 2))) & 0xFFFF
+        return (v & 0x1FF) * LANE, (v >> 9) & 1
+
     for i in range(nsub_in):
-        w0 = win_ref[j * nsub_in + i] & 0xFFFF
+        w0, _ = subinfo(i)
         g_i = g_ref[0, :, i : i + 1]  # (sub, 1) sorted groups
         kb_i = _bytes4(k_ref[0, i : i + 1, :])  # (4, sub) bf16 key bytes
 
@@ -141,13 +150,12 @@ def _kernel(tid_ref, blk_ref, fst_ref, sflag_ref, win_ref, g_ref, k_ref,
     @pl.when(sflag_ref[j] == 1)
     def _():
         for i in range(nsub_in):
-            packed = win_ref[j * nsub_in + i]
-            w0 = packed & 0xFFFF
+            w0, slow_i = subinfo(i)
             g_i = g_ref[0, :, i : i + 1]
             kb_i = _bytes4(k_ref[0, i : i + 1, :])
             limit = base + sw
 
-            @pl.when(packed >> 16 > 0)
+            @pl.when(slow_i > 0)
             def _(g_i=g_i, kb_i=kb_i, w0=w0, limit=limit):
                 def cond(end):
                     rem = jnp.sum(
@@ -179,12 +187,13 @@ def _kernel(tid_ref, blk_ref, fst_ref, sflag_ref, win_ref, g_ref, k_ref,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_groups", "block", "sw", "interpret", "win", "sub", "runs"
+        "num_groups", "block", "sw", "interpret", "win", "sub", "runs",
+        "disjoint",
     ),
 )
 def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
                  sw: int = 65536, interpret: bool = False, win: int = WIN,
-                 sub: int = SUB, runs: int = 1):
+                 sub: int = SUB, runs: int = 1, disjoint: bool = False):
     """Dense per-group min canvas from sorted (group, key) runs.
 
     Args:
@@ -199,8 +208,16 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
         EMPTY) is never confused with a winning key of 0.
       num_groups: canvas size.
       runs: number of independently sorted segments. N must divide into
-        ``runs`` segments whose length is a multiple of ``block`` (pad
-        each segment with group >= num_groups sentinels).
+        ``runs`` equal-length segments (each is padded to the block grid
+        internally with self-masking sentinels).
+      disjoint: promise that run r's entries all lie in its OWN slice
+        [r*G/runs, (r+1)*G/runs) of the canvas (or are >= num_groups) —
+        the per-batch-offset layout of batched splats. The chunk-cell
+        matrix then collapses from (supertile x run) to one owner run
+        per supertile, so grid size stays n_super + nblocks no matter
+        how many runs (essential for batched serving). Silently ignored
+        when the slice widths don't align to ``sw``. Violating the
+        promise loses entries — callers must guarantee it.
       block/sw/win/sub: tuning — entries per grid step, supertile width
         (<= 65536: window offsets pack into 16 bits), fast-window width
         (multiple of 128), entries per sub-chunk (divides block).
@@ -264,10 +281,27 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
     blk0_g = blk0_r + (
         jnp.arange(runs, dtype=jnp.int32) * rblocks
     )[:, None]  # global block ids
-    # Flatten supertile-major: cell (s, r).
-    counts = counts_rs.T.reshape(-1)  # (n_super*runs,)
-    blk0f = blk0_g.T.reshape(-1)
-    maxchunks = n_super * runs + nblocks  # static bound on sum(counts)
+    if disjoint and (
+        num_groups % runs != 0 or (num_groups // runs) % sw != 0
+    ):
+        disjoint = False  # slices don't align to supertiles; use the
+        # general cross-product cell layout (still correct, just wider).
+    if disjoint and runs > 1:
+        # Each supertile belongs to exactly one run's canvas slice:
+        # one cell per supertile, grid stays n_super + nblocks.
+        spr = (num_groups // runs) // sw
+        sidx = jnp.arange(n_super, dtype=jnp.int32)
+        own = sidx // spr
+        counts = counts_rs[own, sidx]  # (n_super,)
+        blk0f = blk0_g[own, sidx]
+        cells_per_tile = 1
+    else:
+        # Flatten supertile-major: cell (s, r).
+        counts = counts_rs.T.reshape(-1)  # (n_super*runs,)
+        blk0f = blk0_g.T.reshape(-1)
+        cells_per_tile = runs
+    ncells = n_super * cells_per_tile
+    maxchunks = ncells + nblocks  # static bound on sum(counts)
     cum = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts, dtype=jnp.int32)]
     )
@@ -275,18 +309,20 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
     cell = jnp.clip(
         jnp.searchsorted(cum, j, side="right").astype(jnp.int32) - 1,
         0,
-        n_super * runs - 1,
+        ncells - 1,
     )
-    tid = cell // runs
+    tid = cell // cells_per_tile
     blks = jnp.clip(blk0f[cell] + (j - cum[cell]), 0, nblocks - 1)
     # First chunk of each SUPERTILE (across its runs) resets the block.
     row_start = cum[
-        jnp.arange(n_super, dtype=jnp.int32) * runs
+        jnp.arange(n_super, dtype=jnp.int32) * cells_per_tile
     ]
     fst = (j == row_start[tid]).astype(jnp.int32)
 
-    # Per-(chunk, sub-chunk) fast-window offset + extra-window count,
-    # packed into one int32 (w0 < 2^16 since sw <= 65536).
+    # Per-(chunk, sub-chunk) fast-window offset + slow flag, 16 bits per
+    # sub-chunk (w0 is LANE-aligned: 9 bits; flag: bit 9), two sub-chunks
+    # per SMEM int32 — the scalar-prefetch table is the SMEM budget that
+    # caps the batched canvas count.
     g3 = group_p.reshape(nblocks, nsub_in, sub)
     gf = g3[:, :, 0][blks]  # (maxchunks, nsub_in)
     gl = g3[:, :, sub - 1][blks]
@@ -299,7 +335,9 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
     # extra windows — without this, every boundary chunk would take the
     # slow path.
     exs = jnp.where(gf - base_j >= sw, 0, exs)
-    wins = (w0s | (exs << 16)).reshape(-1)
+    assert nsub_in % 2 == 0, "block must hold an even number of sub-chunks"
+    v16 = (w0s // LANE) | (jnp.minimum(exs, 1) << 9)  # (maxchunks, nsub_in)
+    wins = (v16[:, 0::2] | (v16[:, 1::2] << 16)).reshape(-1)
     sflag = (jnp.max(exs, axis=1) > 0).astype(jnp.int32)
 
     # Groups sub-chunk-major (entries on sublanes); keys natural layout

@@ -177,8 +177,16 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
         block = sizes.get("block", 4096)
         n_per = group.shape[1]
         r = b * sort_runs if n_per % sort_runs == 0 else b
-        if r > 8:  # bound op count / compile time
-            r = b if b <= 8 else 1
+        if r > 8 and sort_runs > 1:
+            # Bound the number of sub-canvas runs; per-BATCH runs are
+            # always fine (disjoint canvases keep the placement grid
+            # independent of the run count).
+            r = b
+        # Pure per-batch runs target disjoint canvas slices (the
+        # per-batch group offsets above): the placement can then assign
+        # one owner run per supertile instead of a (supertile x run)
+        # cross product — essential for large serving batches.
+        disjoint = r == b and b > 1
         g2 = group.reshape(r, -1)
         k2 = key.reshape(r, -1)
         pad = (-g2.shape[1]) % block
@@ -193,6 +201,7 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
             jnp.concatenate([p[1] for p in parts]),
             num_groups=b * num_pixels * 4,
             runs=r,
+            disjoint=disjoint,
             interpret=interp,
             **sizes,
         )

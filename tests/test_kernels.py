@@ -411,3 +411,56 @@ def test_zbuffer_sort_runs_matches_global_sort():
     )
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_place_sorted_disjoint_owner_runs():
+    """disjoint=True (per-batch canvas slices) must equal the general
+    cross-product layout when each run's entries stay in its own slice."""
+    from panoptic_forecasting_tpu.kernels.placement import place_sorted
+
+    rng = np.random.RandomState(17)
+    sw, runs, per = 1024, 4, 3 * 1024
+    num_groups = runs * 2 * sw  # 2 supertiles per run slice
+    gs, ks = [], []
+    for r in range(runs):
+        g = (rng.randint(0, 2 * sw, per) + r * 2 * sw).astype(np.int32)
+        k = rng.randint(0, 2**30, per).astype(np.int32)
+        o = np.lexsort((k, g))
+        gs.append(g[o]); ks.append(k[o])
+    g_all = np.concatenate(gs); k_all = np.concatenate(ks)
+    ref = np.full(num_groups, 0x7FFFFFFF, np.int32)
+    np.minimum.at(ref, g_all, k_all)
+    for disjoint in (False, True):
+        out = np.asarray(
+            place_sorted(
+                jnp.asarray(g_all), jnp.asarray(k_all),
+                num_groups=num_groups, runs=runs, disjoint=disjoint,
+                interpret=True, block=512, sw=sw,
+            )
+        )
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_zbuffer_batched_disjoint_aligned():
+    """Batched splat on sw-aligned canvases exercises the disjoint
+    owner-run placement; must equal per-sample splats exactly."""
+    rng = np.random.RandomState(23)
+    h, w, b, n = 16, 16, 3, 400  # 4*h*w == 1024 == interpret sw
+    uv = rng.rand(b, n, 2) * [w + 2, h + 2] - 1
+    depth = (rng.rand(b, n) * 30 + 1).astype(np.float32)
+    depth = (depth.view(np.int32) & np.int32(~0xFF)).view(np.float32)
+    label = rng.randint(1, 12, size=(b, n)).astype(np.int32)
+    valid = rng.rand(b, n) > 0.2
+    lb, db = zbuffer_splat(
+        jnp.asarray(uv, jnp.float32), jnp.asarray(depth),
+        jnp.asarray(label), jnp.asarray(valid),
+        height=h, width=w, method="pallas_interpret",
+    )
+    for i in range(b):
+        ls, ds = zbuffer_splat(
+            jnp.asarray(uv[i], jnp.float32), jnp.asarray(depth[i]),
+            jnp.asarray(label[i]), jnp.asarray(valid[i]),
+            height=h, width=w, method="packed",
+        )
+        np.testing.assert_array_equal(np.asarray(lb[i]), np.asarray(ls))
+        np.testing.assert_array_equal(np.asarray(db[i]), np.asarray(ds))
