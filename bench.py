@@ -570,9 +570,10 @@ def _run_tpu_subprocess(mode: str, timeout: int = 300, retries: int = 1):
 
 
 def main() -> None:
-    # 420 s: covers a cold compile of both pc variants (combined +
-    # per-frame) through the tunnel; warm-cache repeats take ~60 s.
-    line = _run_tpu_subprocess("--stages-only", timeout=420)
+    # 900 s: covers cold compiles of every stage program (two pc
+    # variants, bg, fg, fusion scan loops) through the tunnel after a
+    # kernel change invalidates the cache; warm-cache repeats ~60 s.
+    line = _run_tpu_subprocess("--stages-only", timeout=900)
     if line is None:
         print(json.dumps({
             "metric": "e2e_forecast_fps", "value": -1.0,
@@ -588,7 +589,7 @@ def main() -> None:
     # The flagship number: one retry and a budget that covers a cold
     # compile of the full fused program through the tunnel (~3-4 min);
     # repeat runs hit the persistent compile cache and finish in ~30 s.
-    fline = _run_tpu_subprocess("--fused-only", timeout=420, retries=1)
+    fline = _run_tpu_subprocess("--fused-only", timeout=600, retries=1)
     if fline is not None:
         fused_ms = float(fline)
         fused = {
