@@ -251,18 +251,25 @@ def predict_instances(model, variables, batch) -> Dict[str, Any]:
     valid = np.asarray(batch["inputs"]["valid"], bool)
     classes = np.asarray(batch["inputs"]["classes"])
     s, n = masks.shape[:2]
+    # Canvas size follows the scene's background when present (matching
+    # predict_panoptic/predict_semantics); Cityscapes full-res otherwise.
+    backgrounds = batch["inputs"].get("background")
+    if backgrounds is not None:
+        img_h, img_w = np.asarray(backgrounds).shape[-2:]
+    else:
+        img_h, img_w = IMG_H, IMG_W
     # Fixed-size vmapped paste chunks: batched dispatch (the per-instance
     # loop cost one device round-trip each before) without materializing
     # all S·N full-res (8 MB each) probability maps on device at once —
     # 16 instances bound the device-side spike at ~128 MB regardless of
     # scene batch / instance pad bucket. One compiled shape (last chunk
     # zero-padded). Host assembly stays per-instance.
-    paste = _paste_batch(IMG_H, IMG_W)
+    paste = _paste_batch(img_h, img_w)
     flat_m = masks.reshape(s * n, *masks.shape[2:])
     flat_b = boxes.reshape(s * n, 4)
     total = s * n
     chunk = min(16, total)
-    probs = np.empty((total, IMG_H, IMG_W), np.float32)
+    probs = np.empty((total, img_h, img_w), np.float32)
     for i in range(0, total, chunk):
         m = flat_m[i : i + chunk]
         bx = flat_b[i : i + chunk]
@@ -272,7 +279,7 @@ def predict_instances(model, variables, batch) -> Dict[str, Any]:
             bx = np.concatenate([bx, np.zeros((padn, 4), bx.dtype)])
         out = paste(jnp.asarray(m), jnp.asarray(bx))
         probs[i : i + chunk] = np.asarray(out)[: probs[i : i + chunk].shape[0]]
-    probs = probs.reshape(s, n, IMG_H, IMG_W)
+    probs = probs.reshape(s, n, img_h, img_w)
     scenes: List[List[Dict[str, Any]]] = []
     for b in range(s):
         insts = []

@@ -168,6 +168,26 @@ def test_full_chain(world):
     assert np.isfinite(results["All"]["pq"])
     assert results["All"]["n"] >= 1
 
+    # ---- 5b. instance-mask export + in-tree AP scoring --------------------
+    # Reference chain: export_cityscapes_instance_results.py then the
+    # external cityscapesscripts instance-level eval; here both run in-tree.
+    # The fixture GT has no thing instances, so every class is have-gt-false
+    # (nan per class, allAp 0) — the binding under test is that the export
+    # layout and the scorer's file protocol agree end to end.
+    from panoptic_forecasting_tpu.cli import evaluate_instances, \
+        export_instances
+    export_instances.main(["--working_dir", fg_dir, "--config_file", fg_cfg])
+    inst_dir = os.path.join(fg_dir, "exported_instances_val")
+    manifests = glob.glob(os.path.join(inst_dir, "*.txt"))
+    assert manifests, "instance export wrote no manifests"
+    ap = evaluate_instances.main([
+        "--pred_dir", inst_dir, "--cityscapes_dir", cs, "--split", "val",
+        "--results_json", os.path.join(root, "ap.json"),
+    ])
+    assert ap["allAp"] == 0.0
+    assert all(np.isnan(v["ap"]) for v in ap["per_class"].values())
+    assert os.path.exists(os.path.join(root, "ap.json"))
+
     # ---- 6. fused serving CLI == staged export ----------------------------
     # The single-jit forecast CLI (cli/forecast_fused.py) fed the same raw
     # inputs and the same trained weights must reproduce the staged
