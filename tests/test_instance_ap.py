@@ -237,3 +237,143 @@ def test_instance_ids_png_16bit_roundtrip(tmp_path):
     back = load_png(p)
     assert back.dtype.itemsize >= 2
     np.testing.assert_array_equal(back, g)
+
+
+# ---------------------------------------------------------------------------
+# Randomized cross-check against an independently-coded naive scorer.
+# ---------------------------------------------------------------------------
+
+def _naive_ap(images, label_id, th, min_region=100):
+    """Straightforward per-pixel re-implementation of the protocol for one
+    (class, threshold): no shared code with eval/instance_ap.py."""
+    import math
+
+    ys, ss = [], []
+    hard_fns = 0
+    void_ids = {l.id for l in
+                __import__("panoptic_forecasting_tpu.data.cityscapes",
+                           fromlist=["LABELS"]).LABELS
+                if l.ignore_in_eval and l.id >= 0}
+    for g, preds in images:
+        ids = [int(v) for v in np.unique(g)]
+        real = [i for i in ids if i >= 1000 and i // 1000 == label_id
+                and (g == i).sum() >= min_region]
+        ignore_insts = [i for i in ids
+                        if ((i >= 1000 and i // 1000 == label_id
+                             and (g == i).sum() < min_region)
+                            or (i < 1000 and i == label_id))]
+        groups = [i for i in ids if i < 1000 and i == label_id]
+        small = [i for i in ids
+                 if ((i >= 1000 and i // 1000 == label_id) or
+                     (i < 1000 and i == label_id))
+                 and (g == i).sum() < min_region]
+        mine = [(m != 0, s) for m, lid, s in preds if lid == label_id
+                and (m != 0).sum() > 0]
+        # gt side
+        for i in real:
+            gm = g == i
+            ga = gm.sum()
+            hits = []
+            for pm, s in mine:
+                inter = (gm & pm).sum()
+                if inter and inter / (ga + pm.sum() - inter) > th:
+                    hits.append(s)
+            if hits:
+                hits.sort(reverse=True)
+                ys.append(1); ss.append(hits[0])
+                for s in hits[1:]:
+                    ys.append(0); ss.append(s)
+            else:
+                hard_fns += 1
+        # pred side
+        cand = [i for i in ids if (i >= 1000 and i // 1000 == label_id)
+                or (i < 1000 and i == label_id)]
+        for pm, s in mine:
+            pa = pm.sum()
+            found = False
+            for i in cand:
+                gm = g == i
+                inter = (gm & pm).sum()
+                if inter and inter / (gm.sum() + pa - inter) > th:
+                    found = True
+                    break
+            if found:
+                continue
+            ig = sum(pm[g == v].sum() for v in void_ids)
+            for i in cand:
+                inter = (pm & (g == i)).sum()
+                if i in groups:
+                    ig += inter
+                if i in small:
+                    ig += inter
+            if ig / pa <= th:
+                ys.append(0); ss.append(s)
+    if not any((g == i).sum() >= min_region for g, _ in images
+               for i in np.unique(g)
+               if i >= 1000 and i // 1000 == label_id):
+        return float("nan")
+    if not ys and hard_fns == 0:
+        return float("nan")
+    if not any(True for g, preds in images
+               for m, lid, s in preds
+               if lid == label_id and (m != 0).sum() > 0):
+        return 0.0
+    y = np.asarray(ys, float)
+    s = np.asarray(ss, float)
+    order = np.argsort(s, kind="stable")
+    y, s = y[order], s[order]
+    cum = np.append(np.cumsum(y), 0.0)
+    _, uniq = np.unique(s, return_index=True)
+    n, ntrue = len(s), (cum[-2] if len(s) else 0.0)
+    prec = np.zeros(len(uniq) + 1)
+    rec = np.zeros(len(uniq) + 1)
+    for oi, idx in enumerate(uniq):
+        below = cum[idx - 1]
+        tp = ntrue - below
+        fp = n - idx - tp
+        fn = below + hard_fns
+        prec[oi] = tp / (tp + fp)
+        rec[oi] = tp / (tp + fn) if tp + fn else 0.0
+    prec[-1] = 1.0
+    rec[-1] = 0.0
+    r = np.concatenate([[rec[0]], rec, [0.0]])
+    return float(np.dot(prec, np.convolve(r, [-0.5, 0, 0.5], "valid")))
+
+
+def test_randomized_cross_check_vs_naive():
+    rng = np.random.RandomState(7)
+    for trial in range(8):
+        images = []
+        for _ in range(rng.randint(1, 4)):
+            g = np.full((48, 48), ROAD, np.int64)
+            # sprinkle ignore region
+            if rng.rand() < 0.5:
+                g[:rng.randint(4, 16), :] = 4
+            # gt instances (some small), occasional group
+            for k in range(rng.randint(0, 4)):
+                r0, c0 = rng.randint(0, 40, 2)
+                h, w = rng.randint(2, 20, 2)
+                g[r0:r0 + h, c0:c0 + w] = CAR * 1000 + k
+            if rng.rand() < 0.4:
+                r0, c0 = rng.randint(0, 40, 2)
+                g[r0:r0 + 8, c0:c0 + 8] = CAR
+            preds = []
+            for _ in range(rng.randint(0, 5)):
+                r0, c0 = rng.randint(0, 40, 2)
+                h, w = rng.randint(2, 24, 2)
+                m = np.zeros_like(g, bool)
+                m[r0:r0 + h, c0:c0 + w] = True
+                preds.append((m, CAR, float(rng.rand())))
+            images.append((g, preds))
+        stat = APStat()
+        for g, preds in images:
+            stat += match_single_image(g, preds)
+        from panoptic_forecasting_tpu.eval.instance_ap import (
+            OVERLAPS, _class_overlap_ap)
+        for th in OVERLAPS:
+            got = _class_overlap_ap(stat.gts[CAR], stat.preds[CAR], th)
+            want = _naive_ap(images, CAR, th)
+            if math_isnan := (np.isnan(want) or np.isnan(got)):
+                assert np.isnan(want) == np.isnan(got), (trial, th)
+            else:
+                assert got == pytest.approx(want), (trial, th)
