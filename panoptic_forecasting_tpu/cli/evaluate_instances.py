@@ -44,8 +44,17 @@ def main(argv=None) -> dict:
     results = instance_ap.ap_compute_folders(args.pred_dir, gt_dir)
     print(instance_ap.format_results(results))
     if args.results_json:
+        # NaN (class has no gt instances) is not valid RFC JSON; emit null
+        # so jq/strict parsers can read the artifact.
+        def denan(x):
+            if isinstance(x, dict):
+                return {k: denan(v) for k, v in x.items()}
+            if isinstance(x, float) and x != x:
+                return None
+            return x
+
         with open(args.results_json, "w") as f:
-            json.dump(results, f, indent=2)
+            json.dump(denan(results), f, indent=2)
     return results
 
 

@@ -58,9 +58,9 @@ def _build_bg(fused_cfg):
     data = build_dataset(cfg, test=True)
     model = build_model(cfg, data.card)
     variables = restore_params(cfg, model, data)
-    if cfg.get("model", {}).get("fold_bn", True):
-        variables = model.fold_variables(variables)
-    return model, variables
+    from .export_segmentation import _maybe_fold
+
+    return model, _maybe_fold(cfg, model, variables)
 
 
 def _pc_index(fused_cfg, split):

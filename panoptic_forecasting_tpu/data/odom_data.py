@@ -36,6 +36,11 @@ class OdomDataset:
         # equals min_img_len (torchvision Resize semantics) and come back
         # (T_in, h, w, 3) float32 in [0, 1].
         self.load_imgs = bool(d.get("load_imgs"))
+        if self.load_imgs and not d.get("cityscapes_dir"):
+            raise ValueError(
+                "data.load_imgs requires data.cityscapes_dir (the"
+                " leftImg8bit_sequence root) to be configured"
+            )
         self.min_img_len = d.get("min_img_len")
         self.cityscapes_dir = d.get("cityscapes_dir")
 

@@ -149,8 +149,7 @@ def match_single_image(
             continue
         covered = gt[m]
         p = _Prediction(score=float(score), area=area,
-                        void_inter=int(np.count_nonzero(np.isin(
-                            covered, void_label_ids()))))
+                        void_inter=int(np.count_nonzero(void[m])))
         ids, inters = np.unique(covered, return_counts=True)
         for iid, inter in zip(ids.tolist(), inters.tolist()):
             cls = iid // 1000 if iid >= 1000 else iid

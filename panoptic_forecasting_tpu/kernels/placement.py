@@ -201,7 +201,7 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
         ascending; entries with values >= num_groups (e.g. sentinels)
         are ignored. Different runs may contain the same groups: the
         canvas is the min across all runs.
-      key_s:   (N,) int32 packed keys in [0, 2^31 - 2], ascending within
+      key_s:   (N,) int32 packed keys in [0, 2^31 - 3], ascending within
         each group run of each segment (i.e. each segment is
         lexicographically sorted). Key 0 is legitimate: winners are
         biased by +1 internally so an untouched group (returned as
@@ -384,8 +384,10 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
     )(tid, blks, fst, sflag, wins, gT, kN, fill)
 
     canvas = canvas.reshape(-1)[:num_groups]
-    # BIG == untouched (real winners were biased to <= 2^31 - 1 above,
-    # and bias makes every winner >= 1, so BIG never collides).
+    # BIG == untouched. Winners bias to key+1 >= 1, so a biased winner
+    # only collides with BIG (2^31 - 1) at key == 2^31 - 2 — hence the
+    # documented key ceiling of 2^31 - 3. (The zbuffer caller packs
+    # positive-float depth bits, max 0x7F7FFFFF, far below it.)
     return jnp.where(
         canvas == _BIG, jnp.int32(EMPTY), canvas - 1
     )

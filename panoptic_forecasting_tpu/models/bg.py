@@ -78,8 +78,9 @@ class BGModel(TaskModel):
 
     # -- input assembly ----------------------------------------------------
     def _inp2onehot(self, seg: jax.Array) -> jax.Array:
-        """(B, T, H, W) int -> (B, T, H, W, C) one-hot; ids ≥ C are zeroed
-        (bg_model.py:53-59)."""
+        """(..., ) int map -> (..., C) one-hot along a NEW trailing axis;
+        ids ≥ C are zeroed (bg_model.py:53-59). Axis-agnostic so
+        ``_assemble`` can feed the (B, H, W, T)-transposed map."""
         mask = seg < self.num_classes
         safe = jnp.where(mask, seg, 0)
         oh = jax.nn.one_hot(safe, self.num_classes, dtype=jnp.float32)
@@ -96,10 +97,7 @@ class BGModel(TaskModel):
         """
         seg_t = jnp.transpose(seg, (0, 2, 3, 1))  # (B, H, W, T) int
         if self.convert2onehot:
-            mask = seg_t < self.num_classes
-            safe = jnp.where(mask, seg_t, 0)
-            x = jax.nn.one_hot(safe, self.num_classes, dtype=jnp.float32)
-            x = x * mask[..., None]  # (B, H, W, T, C)
+            x = self._inp2onehot(seg_t)  # (B, H, W, T, C)
         else:
             x = seg_t[..., None].astype(jnp.float32)
         b, h, w, t, c = x.shape
