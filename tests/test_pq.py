@@ -180,3 +180,94 @@ def test_folder_protocol_self_eval_is_perfect(tmp_path):
     assert res["per_class"]["car"]["pq"] == pytest.approx(1.0)
     assert res["per_class"]["road"]["pq"] == pytest.approx(1.0)
     assert res["per_class"]["building"]["pq"] == pytest.approx(1.0)
+
+
+def _naive_pq_stats(gt, gt_info, pr, pr_info, categories):
+    """From-scratch per-pixel reimplementation of the panopticapi matching
+    for the cross-check below — no shared code with eval/pq.py."""
+    gt = np.asarray(gt); pr = np.asarray(pr)
+    g_by_id = {s["id"]: s for s in gt_info if (gt == s["id"]).any()}
+    p_by_id = {s["id"]: s for s in pr_info if (pr == s["id"]).any()}
+    g_by_id = {i: s for i, s in g_by_id.items()
+               if s["category_id"] in categories}
+    p_by_id = {i: s for i, s in p_by_id.items()
+               if s["category_id"] in categories}
+    gt_void = ~np.isin(gt, list(g_by_id) or [0])
+    out = {}  # cat -> [iou_sum, tp, fp, fn]
+
+    def acc(c):
+        return out.setdefault(c, [0.0, 0, 0, 0])
+
+    matched_g, matched_p = set(), set()
+    for gid, gs in g_by_id.items():
+        if gs.get("iscrowd"):
+            continue
+        gm = gt == gid
+        for pid, ps in p_by_id.items():
+            if ps["category_id"] != gs["category_id"]:
+                continue
+            pm = pr == pid
+            inter = (gm & pm).sum()
+            if not inter:
+                continue
+            union = gm.sum() + pm.sum() - inter - (pm & gt_void).sum()
+            iou = inter / union if union > 0 else 0.0
+            if iou > 0.5:
+                a = acc(gs["category_id"])
+                a[0] += iou; a[1] += 1
+                matched_g.add(gid); matched_p.add(pid)
+    for gid, gs in g_by_id.items():
+        if not gs.get("iscrowd") and gid not in matched_g:
+            acc(gs["category_id"])[3] += 1
+    crowd = {s["category_id"]: i for i, s in g_by_id.items()
+             if s.get("iscrowd")}
+    for pid, ps in p_by_id.items():
+        if pid in matched_p:
+            continue
+        pm = pr == pid
+        ig = (pm & gt_void).sum()
+        cg = crowd.get(ps["category_id"])
+        if cg is not None:
+            ig += (pm & (gt == cg)).sum()
+        if ig / pm.sum() > 0.5:
+            continue
+        acc(ps["category_id"])[2] += 1
+    return out
+
+
+def test_randomized_cross_check_vs_naive():
+    cats = pq.eval_categories()
+    rng = np.random.RandomState(11)
+    for trial in range(8):
+        h, w = 24, 32
+        gt = np.zeros((h, w), np.int64)
+        pr = np.zeros((h, w), np.int64)
+        gt_info, pr_info = [], []
+        used_g, used_p = set(), set()
+        for arr, info, used in ((gt, gt_info, used_g),
+                                (pr, pr_info, used_p)):
+            for _ in range(rng.randint(2, 7)):
+                cat = int(rng.choice([ROAD, BUILDING, CAR, 24]))
+                sid = cat * 1000 + rng.randint(0, 3) if cat >= 24 else cat
+                r0, c0 = rng.randint(0, h - 4), rng.randint(0, w - 4)
+                hh, ww = rng.randint(2, 12, 2)
+                arr[r0:r0 + hh, c0:c0 + ww] = sid
+                if sid not in used:
+                    used.add(sid)
+                    info.append({"id": sid, "category_id": cat,
+                                 "iscrowd": int(cat >= 24
+                                                and rng.rand() < 0.2
+                                                and sid % 1000 == 0)})
+        gt_info = [s for s in gt_info if (gt == s["id"]).any()]
+        pr_info = [s for s in pr_info if (pr == s["id"]).any()]
+        # preds never carry iscrowd
+        for s in pr_info:
+            s["iscrowd"] = 0
+        stat = pq.pq_compute_single_image(gt, gt_info, pr, pr_info, cats)
+        want = _naive_pq_stats(gt, gt_info, pr, pr_info, cats)
+        for c in set(list(want) + list(stat.per_cat)):
+            s = stat.per_cat.get(c)
+            wv = want.get(c, [0.0, 0, 0, 0])
+            got = ([s.iou, s.tp, s.fp, s.fn] if s else [0.0, 0, 0, 0])
+            assert got[1:] == wv[1:], (trial, c, got, wv)
+            assert got[0] == pytest.approx(wv[0]), (trial, c)
