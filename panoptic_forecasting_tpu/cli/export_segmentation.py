@@ -149,21 +149,6 @@ def backfill_missing(base: str, split: str, cfg) -> int:
     return count
 
 
-def _maybe_fold(cfg, model, params):
-    """BG export runs the folded (BN-free) inference graph by default —
-    the v2_transform capability (models/hardnet.fold_batchnorm_variables);
-    disable with --set model.fold_bn false. Exact to ~1e-7 (argmax maps
-    unchanged, tests/test_bg_slice.py)."""
-    if (
-        cfg.get("task") == "bg"
-        and cfg.get("model", {}).get("fold_bn", True)
-        and hasattr(model, "fold_variables")
-        and "batch_stats" in params
-    ):
-        return model.fold_variables(params)
-    return params
-
-
 def main(argv=None) -> None:
     cfg, task_data, model = setup(argv, test=True)
     params = (
@@ -171,7 +156,10 @@ def main(argv=None) -> None:
         if cfg["task"] != "pc_transform"
         else {}
     )
-    params = _maybe_fold(cfg, model, params)
+    # BG serving folds conv+BN by default (BGModel.maybe_fold; disable
+    # with --set model.fold_bn false). pc_transform has no fold.
+    if hasattr(model, "maybe_fold"):
+        params = model.maybe_fold(params)
     for split in task_data.datasets:
         out = export_split(model, params, task_data, split, cfg)
         print(f"exported {split} -> {out}")

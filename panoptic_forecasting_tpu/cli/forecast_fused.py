@@ -58,9 +58,7 @@ def _build_bg(fused_cfg):
     data = build_dataset(cfg, test=True)
     model = build_model(cfg, data.card)
     variables = restore_params(cfg, model, data)
-    from .export_segmentation import _maybe_fold
-
-    return model, _maybe_fold(cfg, model, variables)
+    return model, model.maybe_fold(variables)
 
 
 def _pc_index(fused_cfg, split):

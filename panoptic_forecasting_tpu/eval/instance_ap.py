@@ -285,9 +285,6 @@ def ap_compute_folders(pred_dir: str, gt_dir: str,
     from ..data.io import load_png
 
     stat = APStat()
-    txts = sorted(glob.glob(os.path.join(pred_dir, "*.txt")))
-    if not txts:
-        raise ValueError(f"no prediction manifests (*.txt) in {pred_dir}")
     gt_paths = {
         "_".join(os.path.basename(p).split("_")[:3]): p
         for p in glob.glob(
@@ -295,10 +292,22 @@ def ap_compute_folders(pred_dir: str, gt_dir: str,
             recursive=True,
         )
     }
-    for txt in txts:
-        name = os.path.splitext(os.path.basename(txt))[0]
-        if name not in gt_paths:
-            raise ValueError(f"no gt instanceIds map for frame {name}")
+    if not gt_paths:
+        raise ValueError(
+            f"no gt instanceIds maps (*_gtFine_instanceIds.png) in {gt_dir}"
+        )
+    # Drive the sweep from the GT list, like evalInstanceLevelSemantic-
+    # Labeling (and pq_compute_folders): every gt frame must have a
+    # prediction manifest — a missing one is an error, never a silent
+    # skip (which would drop that frame's gt instances from the FN pool
+    # and inflate AP). Extra manifests without gt are ignored, matching
+    # the external tool.
+    for name in sorted(gt_paths):
+        txt = os.path.join(pred_dir, name + ".txt")
+        if not os.path.exists(txt):
+            raise ValueError(
+                f"no prediction manifest for gt frame {name}: {txt}"
+            )
         gt_map = load_png(gt_paths[name]).astype(np.int64)
         preds = []
         with open(txt) as f:

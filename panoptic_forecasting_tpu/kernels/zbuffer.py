@@ -176,7 +176,12 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
         sizes = {"block": 512, "sw": 1024} if interp else {}
         block = sizes.get("block", 4096)
         n_per = group.shape[1]
-        r = b * sort_runs if n_per % sort_runs == 0 else b
+        if n_per % sort_runs != 0:
+            raise ValueError(
+                f"sort_runs={sort_runs} must divide the per-sample point "
+                f"count N={n_per} (zbuffer_splat docstring contract)"
+            )
+        r = b * sort_runs
         if r > 8 and sort_runs > 1:
             # Bound the number of sub-canvas runs; per-BATCH runs are
             # always fine (disjoint canvases keep the placement grid
@@ -298,7 +303,11 @@ def zbuffer_splat(uv, depth, label, valid, *, height: int, width: int,
         per-input-frame sub-streams of a combined reprojection. lax.sort
         is superlinear, so several small sorts beat one big one; the
         placement min-combines the runs, which equals the global z-buffer
-        by associativity of min. Must divide N.
+        by associativity of min. Must divide N (raises otherwise). When
+        batch x sort_runs would exceed 8 total runs, the split is clamped
+        to per-batch runs — placement cost grows with the run count
+        (docs/perf_notes.md) and per-batch runs keep the grid
+        batch-independent.
 
     Returns:
       (label_canvas (..., H, W[, C]), depth_canvas (..., H, W)).

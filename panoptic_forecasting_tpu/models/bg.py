@@ -58,6 +58,7 @@ class BGModel(TaskModel):
             self.pretrain_path = None
         dt = m.get("compute_dtype")
         self.compute_dtype = jnp.bfloat16 if dt in ("bfloat16", "bf16") else jnp.float32
+        self.fold_bn = bool(m.get("fold_bn", True))
         self.module = HarDNet(
             n_classes=self.num_classes, dtype=self.compute_dtype
         )
@@ -67,6 +68,17 @@ class BGModel(TaskModel):
 
     # -- inference-time conv+BN folding (v2_transform capability) ----------
     fold_variables = staticmethod(fold_batchnorm_variables)
+
+    def maybe_fold(self, variables):
+        """Inference runs the folded (BN-free) graph by default — the
+        capability the reference's dead v2_transform encoded
+        (hardnet.py:341-351); disable with ``model.fold_bn: false``.
+        Exact to ~1e-7 (argmax maps unchanged, tests/test_bg_slice.py).
+        Single source of the fold-gating policy for every serving
+        consumer (export CLI, fused forecast CLI, benchmarks)."""
+        if self.fold_bn and "batch_stats" in variables:
+            return self.fold_variables(variables)
+        return variables
 
     def _module_for(self, variables):
         """Folded variables (no BN params) route to the folded graph —

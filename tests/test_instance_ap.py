@@ -227,6 +227,35 @@ def test_ap_folder_protocol_roundtrip(tmp_path):
     assert "all" in out and "car" in out
 
 
+def test_ap_folder_missing_prediction_raises(tmp_path):
+    """The sweep is driven from the GT list (evalInstanceLevelSemantic-
+    Labeling protocol): a gt frame with no manifest is an error, never a
+    silent skip that would drop its instances from the FN pool."""
+    from panoptic_forecasting_tpu.data.io import save_png
+
+    h, w = 48, 64
+    gt_dir = tmp_path / "gtFine" / "val" / "city"
+    gt_dir.mkdir(parents=True)
+    for frame in ("000019", "000049"):
+        g = gt_map(h, w, (CAR, 0, 0, 24, 0, 24))
+        save_png(
+            str(gt_dir / f"city_000000_{frame}_gtFine_instanceIds.png"),
+            g.astype(np.int32),
+        )
+    pred_dir = tmp_path / "pred"
+    pred_dir.mkdir()
+    # Manifest (perfect) for the first frame only.
+    name = "city_000000_000019"
+    car_mask = (gt_map(h, w, (CAR, 0, 0, 24, 0, 24)) == CAR * 1000)
+    save_png(str(pred_dir / f"{name}_{CAR}_0.png"),
+             car_mask.astype(np.uint8) * 255)
+    with open(pred_dir / f"{name}.txt", "w") as f:
+        f.write(f"{name}_{CAR}_0.png {CAR} 0.900000\n")
+
+    with pytest.raises(ValueError, match="no prediction manifest"):
+        ap_compute_folders(str(pred_dir), str(tmp_path / "gtFine" / "val"))
+
+
 def test_instance_ids_png_16bit_roundtrip(tmp_path):
     """Cityscapes instanceIds PNGs are 16-bit; io must preserve >255."""
     from panoptic_forecasting_tpu.data.io import load_png, save_png

@@ -413,6 +413,24 @@ def test_zbuffer_sort_runs_matches_global_sort():
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
 
 
+def test_zbuffer_sort_runs_must_divide():
+    """Non-dividing sort_runs raises (documented contract) instead of
+    silently falling back to a different sort segmentation."""
+    h, w = 8, 16
+    n = 3 * h * w  # 384: not divisible by 5
+    args = (
+        jnp.zeros((1, n, 2), jnp.float32),
+        jnp.ones((1, n), jnp.float32),
+        jnp.zeros((1, n), jnp.int32),
+        jnp.ones((1, n), bool),
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        zbuffer_splat(
+            *args, height=h, width=w, method="pallas_interpret",
+            sort_runs=5,
+        )
+
+
 def test_place_sorted_disjoint_owner_runs():
     """disjoint=True (per-batch canvas slices) must equal the general
     cross-product layout when each run's entries stay in its own slice."""
