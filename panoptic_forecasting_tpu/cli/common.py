@@ -115,6 +115,15 @@ def restore_params(cfg, model, task_data, example_batch=None):
     return params
 
 
+def export_writer(cfg):
+    """AsyncWriter for an export CLI: host-side PNG/npy writes overlap
+    the next batch's device step. ``export_write_threads: 0`` restores
+    fully synchronous writes."""
+    from ..data.io import AsyncWriter
+
+    return AsyncWriter(workers=int(cfg.get("export_write_threads", 4)))
+
+
 def pipelined_map(fn, iterable, depth: int = 2):
     """Yield ``(fn(item), item)`` in order, computing the next item's
     ``fn`` on a background thread.

@@ -23,7 +23,7 @@ from ..data.cityscapes import TRAIN_ID_TO_ID
 from ..data.io import save_png
 from ..eval import fusion
 from ..train.loop import _strip_meta
-from .common import restore_params, setup
+from .common import export_writer, restore_params, setup
 
 
 def export_split(model, params, task_data, split, cfg) -> str:
@@ -34,22 +34,28 @@ def export_split(model, params, task_data, split, cfg) -> str:
 
     entries = defaultdict(lambda: defaultdict(list))  # name -> cl -> scores
     loader = task_data.loader(split, cfg, test=True)
-    for batch in loader:
-        preds = fusion.predict_instances(model, params, _strip_meta(batch))
-        meta = batch["meta"]
-        for i, insts in enumerate(preds["instances"]):
-            city = meta["city"][i]
-            seq = meta["seq"][i]
-            frame = int(meta["target_frame"][i])
-            name = f"{city}_{seq}_{frame:06d}"
-            for inst in insts:
-                cl = TRAIN_ID_TO_ID[inst["class_train_id"]]
-                k = len(entries[name][cl])
-                entries[name][cl].append(float(inst["score"]))
-                save_png(
-                    os.path.join(base, f"{name}_{cl}_{k}.png"),
-                    (inst["mask"].astype(np.uint8) * 255),
-                )
+    # Mask PNG writes overlap the next batch's device step (JAX stays on
+    # this thread — AsyncWriter docs).
+    with export_writer(cfg) as w:
+        for batch in loader:
+            preds = fusion.predict_instances(
+                model, params, _strip_meta(batch)
+            )
+            meta = batch["meta"]
+            for i, insts in enumerate(preds["instances"]):
+                city = meta["city"][i]
+                seq = meta["seq"][i]
+                frame = int(meta["target_frame"][i])
+                name = f"{city}_{seq}_{frame:06d}"
+                for inst in insts:
+                    cl = TRAIN_ID_TO_ID[inst["class_train_id"]]
+                    k = len(entries[name][cl])
+                    entries[name][cl].append(float(inst["score"]))
+                    w.submit(
+                        save_png,
+                        os.path.join(base, f"{name}_{cl}_{k}.png"),
+                        (inst["mask"].astype(np.uint8) * 255),
+                    )
 
     for name, by_class in entries.items():
         with open(os.path.join(base, f"{name}.txt"), "w") as f:

@@ -30,7 +30,7 @@ from ..eval.panoptic_protocol import (
     write_panoptic_png,
 )
 from ..train.loop import _strip_meta
-from .common import restore_params, setup
+from .common import export_writer, restore_params, setup
 
 
 def export_split(model, params, task_data, split, cfg) -> str:
@@ -45,26 +45,31 @@ def export_split(model, params, task_data, split, cfg) -> str:
     annotations = []
     exported = set()
     loader = task_data.loader(split, cfg, test=True)
-    for batch in loader:
-        preds = fusion.predict_panoptic(model, params, _strip_meta(batch))
-        segs = np.asarray(preds["seg"])
-        meta = batch["meta"]
-        for i in range(len(segs)):
-            city = meta["city"][i]
-            seq = meta["seq"][i]
-            target = int(meta["target_frame"][i])
-            name = f"{city}_{seq}_{target:06d}"
-            seg = segs[i]
-            if not no_convert:
-                seg = relabel_panoptic_trainid_to_labelid(seg)
-            file_name = f"{name}_pred_panoptic.png"
-            write_panoptic_png(os.path.join(seg_dir, file_name), seg)
-            annotations.append({
-                "image_id": name,
-                "file_name": file_name,
-                "segments_info": segments_info_from_labelid_seg(seg),
-            })
-            exported.add(name)
+    # PNG encode+write overlaps the next batch's device step (JAX stays
+    # on this thread — AsyncWriter docs).
+    with export_writer(cfg) as w:
+        for batch in loader:
+            preds = fusion.predict_panoptic(model, params, _strip_meta(batch))
+            segs = np.asarray(preds["seg"])
+            meta = batch["meta"]
+            for i in range(len(segs)):
+                city = meta["city"][i]
+                seq = meta["seq"][i]
+                target = int(meta["target_frame"][i])
+                name = f"{city}_{seq}_{target:06d}"
+                seg = segs[i]
+                if not no_convert:
+                    seg = relabel_panoptic_trainid_to_labelid(seg)
+                file_name = f"{name}_pred_panoptic.png"
+                w.submit(
+                    write_panoptic_png, os.path.join(seg_dir, file_name), seg
+                )
+                annotations.append({
+                    "image_id": name,
+                    "file_name": file_name,
+                    "segments_info": segments_info_from_labelid_seg(seg),
+                })
+                exported.add(name)
 
     _backfill_missing(cfg, task_data, split, seg_dir, exported, annotations)
 
@@ -86,34 +91,37 @@ def _backfill_missing(cfg, task_data, split, seg_dir, exported, annotations):
     background_dir = cfg.get("data", {}).get("background_dir")
     gt_dir = os.path.join(cityscapes_dir, "gtFine", split)
     count = 0
-    for path in sorted(
-        glob.glob(os.path.join(gt_dir, "*", "*_gtFine_labelIds.png"))
-    ):
-        parts = os.path.basename(path).split("_")
-        name = f"{parts[0]}_{parts[1]}_{parts[2]}"
-        if name in exported:
-            continue
-        count += 1
-        seg = None
-        if background_dir:
-            bg_path = os.path.join(
-                background_dir, parts[0], os.path.basename(path)
-            )
-            if os.path.exists(bg_path):
-                # bg export is already trainId-space labelIds PNG; treat as
-                # a pure-stuff panoptic canvas.
-                seg = relabel_panoptic_trainid_to_labelid(
-                    load_png(bg_path).astype(np.int64)
+    with export_writer(cfg) as w:
+        for path in sorted(
+            glob.glob(os.path.join(gt_dir, "*", "*_gtFine_labelIds.png"))
+        ):
+            parts = os.path.basename(path).split("_")
+            name = f"{parts[0]}_{parts[1]}_{parts[2]}"
+            if name in exported:
+                continue
+            count += 1
+            seg = None
+            if background_dir:
+                bg_path = os.path.join(
+                    background_dir, parts[0], os.path.basename(path)
                 )
-        if seg is None:
-            seg = np.zeros((fusion.IMG_H, fusion.IMG_W), np.int64)
-        file_name = f"{name}_pred_panoptic.png"
-        write_panoptic_png(os.path.join(seg_dir, file_name), seg)
-        annotations.append({
-            "image_id": name,
-            "file_name": file_name,
-            "segments_info": segments_info_from_labelid_seg(seg),
-        })
+                if os.path.exists(bg_path):
+                    # bg export is already trainId-space labelIds PNG; treat
+                    # as a pure-stuff panoptic canvas.
+                    seg = relabel_panoptic_trainid_to_labelid(
+                        load_png(bg_path).astype(np.int64)
+                    )
+            if seg is None:
+                seg = np.zeros((fusion.IMG_H, fusion.IMG_W), np.int64)
+            file_name = f"{name}_pred_panoptic.png"
+            w.submit(
+                write_panoptic_png, os.path.join(seg_dir, file_name), seg
+            )
+            annotations.append({
+                "image_id": name,
+                "file_name": file_name,
+                "segments_info": segments_info_from_labelid_seg(seg),
+            })
     print("NUM MISSING:", count)
 
 

@@ -22,7 +22,7 @@ import numpy as np
 from ..data.cityscapes import train_id_color_palette, train_id_to_id_lut
 from ..data.io import encode_depth_png, encode_disparity_from_depth, save_png
 from ..train.loop import _strip_meta
-from .common import restore_params, setup
+from .common import export_writer, restore_params, setup
 
 
 def export_split(model, params, task_data, split, cfg) -> str:
@@ -56,56 +56,67 @@ def export_split(model, params, task_data, split, cfg) -> str:
     palette = train_id_color_palette()
 
     loader = task_data.loader(split, cfg, test=True)
-    for batch in loader:
-        preds = model.predict(params, _strip_meta(batch))
-        segs = np.asarray(preds["seg"])
-        depths = np.asarray(preds["depth"]) if "depth" in preds else None
-        meta = batch["meta"]
-        for i in range(len(segs)):
-            city = meta["city"][i]
-            seq = meta["seq"][i]
-            tgt = int(meta["target_frame"][i]) if "target_frame" in meta else int(
-                meta["frame"][i]
-            )
-            name = f"{city}_{seq}_{tgt:06d}"
-            out_dir = os.path.join(base, city)
-            seg = segs[i]
-            if viz:
-                save_png(
-                    os.path.join(out_dir, f"{name}_gtFine_color.png"),
-                    palette[np.clip(seg, 0, 255)],
+    # Host-side PNG/npy writes run on a bounded pool so they overlap the
+    # next batch's predict; JAX stays on this thread (AsyncWriter docs).
+    with export_writer(cfg) as w:
+        for batch in loader:
+            preds = model.predict(params, _strip_meta(batch))
+            segs = np.asarray(preds["seg"])
+            depths = np.asarray(preds["depth"]) if "depth" in preds else None
+            meta = batch["meta"]
+            for i in range(len(segs)):
+                city = meta["city"][i]
+                seq = meta["seq"][i]
+                tgt = int(meta["target_frame"][i]) if "target_frame" in meta else int(
+                    meta["frame"][i]
                 )
-            elif is_img:
-                save_png(
-                    os.path.join(out_dir, f"{name}_leftImg8bit.png"),
-                    seg.astype(np.uint8),
-                )
-            else:
-                if not no_convert:
-                    seg = lut[np.clip(seg, 0, 255)]
-                elif convert_to_trainid:
-                    # labelId -> trainId re-encode (reference
-                    # export_cityscapes_segmentation_results.py:34-38,91-92)
-                    seg = id_lut[np.clip(seg, 0, 255)]
-                save_png(
-                    os.path.join(out_dir, f"{name}_gtFine_labelIds.png"),
-                    seg.astype(np.uint8),
-                )
-            if save_depth and depths is not None:
-                d = depths[i]
-                if save_disp_as_png:
-                    save_png(
-                        os.path.join(out_dir, f"{name}_disps.png"),
-                        encode_disparity_from_depth(d, disp_factor),
+                name = f"{city}_{seq}_{tgt:06d}"
+                out_dir = os.path.join(base, city)
+                seg = segs[i]
+                if viz:
+                    w.submit(
+                        save_png,
+                        os.path.join(out_dir, f"{name}_gtFine_color.png"),
+                        palette[np.clip(seg, 0, 255)],
                     )
-                elif save_depth_as_png:
-                    save_png(
-                        os.path.join(out_dir, f"{name}_depths.png"),
-                        encode_depth_png(d),
+                elif is_img:
+                    w.submit(
+                        save_png,
+                        os.path.join(out_dir, f"{name}_leftImg8bit.png"),
+                        seg.astype(np.uint8),
                     )
                 else:
-                    os.makedirs(out_dir, exist_ok=True)
-                    np.save(os.path.join(out_dir, f"{name}_depths.npy"), d)
+                    if not no_convert:
+                        seg = lut[np.clip(seg, 0, 255)]
+                    elif convert_to_trainid:
+                        # labelId -> trainId re-encode (reference
+                        # export_cityscapes_segmentation_results.py:34-38,91-92)
+                        seg = id_lut[np.clip(seg, 0, 255)]
+                    w.submit(
+                        save_png,
+                        os.path.join(out_dir, f"{name}_gtFine_labelIds.png"),
+                        seg.astype(np.uint8),
+                    )
+                if save_depth and depths is not None:
+                    d = depths[i]
+                    if save_disp_as_png:
+                        w.submit(
+                            save_png,
+                            os.path.join(out_dir, f"{name}_disps.png"),
+                            encode_disparity_from_depth(d, disp_factor),
+                        )
+                    elif save_depth_as_png:
+                        w.submit(
+                            save_png,
+                            os.path.join(out_dir, f"{name}_depths.png"),
+                            encode_depth_png(d),
+                        )
+                    else:
+                        os.makedirs(out_dir, exist_ok=True)
+                        w.submit(
+                            np.save,
+                            os.path.join(out_dir, f"{name}_depths.npy"), d,
+                        )
     if not (viz or is_img):
         backfill_missing(base, split, cfg)
     return base
@@ -127,25 +138,30 @@ def backfill_missing(base: str, split: str, cfg) -> int:
     cities = cfg.get("data", {}).get("cities")
     from PIL import Image
 
-    for city in os.listdir(gt_dir):
-        if cities is not None and city not in cities:
-            continue
-        for path in glob.glob(os.path.join(gt_dir, city, "*_gtFine_labelIds.png")):
-            fname = os.path.basename(path)
-            out = os.path.join(base, city, fname)
-            if os.path.exists(out):
+    with export_writer(cfg) as w:
+        for city in os.listdir(gt_dir):
+            if cities is not None and city not in cities:
                 continue
-            count += 1
-            arr = None
-            if bg_dir:
-                bg_path = os.path.join(bg_dir, city, fname)
-                if os.path.exists(bg_path):
-                    arr = lut[np.clip(np.array(Image.open(bg_path)), 0, 255)]
-            if arr is None:
-                shape = np.array(Image.open(path)).shape
-                fill = 255 if no_convert else 0
-                arr = np.full(shape, fill, np.uint8)
-            save_png(out, arr.astype(np.uint8))
+            for path in glob.glob(
+                os.path.join(gt_dir, city, "*_gtFine_labelIds.png")
+            ):
+                fname = os.path.basename(path)
+                out = os.path.join(base, city, fname)
+                if os.path.exists(out):
+                    continue
+                count += 1
+                arr = None
+                if bg_dir:
+                    bg_path = os.path.join(bg_dir, city, fname)
+                    if os.path.exists(bg_path):
+                        arr = lut[
+                            np.clip(np.array(Image.open(bg_path)), 0, 255)
+                        ]
+                if arr is None:
+                    shape = np.array(Image.open(path)).shape
+                    fill = 255 if no_convert else 0
+                    arr = np.full(shape, fill, np.uint8)
+                w.submit(save_png, out, arr.astype(np.uint8))
     return count
 
 

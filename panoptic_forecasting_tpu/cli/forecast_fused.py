@@ -38,7 +38,7 @@ from ..eval.panoptic_protocol import (
     segments_info_from_labelid_seg,
     write_panoptic_png,
 )
-from .common import restore_params, setup
+from .common import export_writer, restore_params, setup
 
 FG_KEYS = ("trajectories", "bbox_masks", "bbox_vel_masks", "depths",
            "depth_masks", "feats", "odometry", "classes", "valid")
@@ -119,42 +119,49 @@ def export_split(fg_model, fg_vars, bg_model, bg_vars, task_data, split,
     annotations = []
     n_done = n_skipped = 0
     loader = task_data.loader(split, cfg, test=True)
-    for batch in loader:
-        meta = batch["meta"]
-        out_t = int(np.asarray(batch["labels"]["trajectories"]).shape[2])
-        if step is None:
-            step = build_forecast_step(
-                bg_model, fg_model, height=height, width=width, out_t=out_t
-            )
-        for i in range(len(meta["city"])):
-            name = (f"{meta['city'][i]}_{meta['seq'][i]}_"
-                    f"{int(meta['target_frame'][i]):06d}")
-            if name not in pc_idx:
-                n_skipped += 1
-                continue
-            fg_in = {
-                k: jnp.asarray(np.asarray(batch["inputs"][k])[i : i + 1])
-                for k in FG_KEYS
-            }
-            fg_in["output_inds"] = jnp.asarray(
-                np.asarray(batch["labels"]["output_inds"])[i : i + 1]
-            )
-            pc_in = {
-                k: jnp.asarray(v)
-                for k, v in _pc_inputs(pc_ds, pc_idx[name], lut).items()
-            }
-            fused = step(bg_vars, fg_vars, pc_in, fg_in)
-            seg = relabel_panoptic_trainid_to_labelid(
-                np.asarray(fused["panoptic"][0]).astype(np.int64)
-            )
-            file_name = f"{name}_pred_panoptic.png"
-            write_panoptic_png(os.path.join(seg_dir, file_name), seg)
-            annotations.append({
-                "image_id": name,
-                "file_name": file_name,
-                "segments_info": segments_info_from_labelid_seg(seg),
-            })
-            n_done += 1
+    # Panoptic PNG encode+write overlaps the next frame's fused device
+    # step (JAX stays on this thread — AsyncWriter docs).
+    with export_writer(cfg) as w:
+        for batch in loader:
+            meta = batch["meta"]
+            out_t = int(np.asarray(batch["labels"]["trajectories"]).shape[2])
+            if step is None:
+                step = build_forecast_step(
+                    bg_model, fg_model, height=height, width=width,
+                    out_t=out_t,
+                )
+            for i in range(len(meta["city"])):
+                name = (f"{meta['city'][i]}_{meta['seq'][i]}_"
+                        f"{int(meta['target_frame'][i]):06d}")
+                if name not in pc_idx:
+                    n_skipped += 1
+                    continue
+                fg_in = {
+                    k: jnp.asarray(np.asarray(batch["inputs"][k])[i : i + 1])
+                    for k in FG_KEYS
+                }
+                fg_in["output_inds"] = jnp.asarray(
+                    np.asarray(batch["labels"]["output_inds"])[i : i + 1]
+                )
+                pc_in = {
+                    k: jnp.asarray(v)
+                    for k, v in _pc_inputs(pc_ds, pc_idx[name], lut).items()
+                }
+                fused = step(bg_vars, fg_vars, pc_in, fg_in)
+                seg = relabel_panoptic_trainid_to_labelid(
+                    np.asarray(fused["panoptic"][0]).astype(np.int64)
+                )
+                file_name = f"{name}_pred_panoptic.png"
+                w.submit(
+                    write_panoptic_png,
+                    os.path.join(seg_dir, file_name), seg,
+                )
+                annotations.append({
+                    "image_id": name,
+                    "file_name": file_name,
+                    "segments_info": segments_info_from_labelid_seg(seg),
+                })
+                n_done += 1
 
     with open(os.path.join(result_dir, f"{export_name}.json"), "w",
               encoding="utf-8") as f:

@@ -59,6 +59,78 @@ def save_png(path: str, arr: np.ndarray) -> None:
     Image.fromarray(arr).save(path)
 
 
+class AsyncWriter:
+    """Bounded thread pool for host-side artifact writes (PNG/npy/txt).
+
+    Export loops interleave device steps with per-frame file writes (the
+    reference writes synchronously inside its export loop,
+    export_cityscapes_segmentation_results.py:53-127); offloading the
+    encode+write overlaps host IO with the next batch's device step.
+    ONLY pure host work may be submitted — JAX dispatch must stay on the
+    caller's thread (dispatching from a worker deadlocks the tunneled
+    TPU attachment, see cli/common.pipelined_map). Submitted arrays must
+    not be mutated after ``submit``. ``max_pending`` bounds in-flight
+    jobs (backpressure, so queued arrays can't exhaust host memory).
+    The first worker exception re-raises on the caller's thread at the
+    next ``submit()`` or at ``close()``. ``workers=0`` degrades to
+    synchronous in-line calls.
+    """
+
+    def __init__(self, workers: int = 4, max_pending: int = 32):
+        self._ex = None
+        self._err: Optional[BaseException] = None
+        if workers > 0:
+            import threading
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._ex = ThreadPoolExecutor(
+                max_workers=workers, thread_name_prefix="pf-write"
+            )
+            self._slots = threading.Semaphore(max_pending)
+
+    def submit(self, fn, *args, **kwargs) -> None:
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+        if self._ex is None:
+            fn(*args, **kwargs)
+            return
+        self._slots.acquire()
+
+        def job():
+            try:
+                fn(*args, **kwargs)
+            except BaseException as e:  # surfaced on the caller's thread
+                if self._err is None:
+                    self._err = e
+            finally:
+                self._slots.release()
+
+        self._ex.submit(job)
+
+    def close(self) -> None:
+        """Drain the queue; raise the first worker error, if any."""
+        if self._ex is not None:
+            self._ex.shutdown(wait=True)
+            self._ex = None
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def __enter__(self) -> "AsyncWriter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        if exc_type is None:
+            self.close()
+        else:  # don't mask the in-flight exception with a writer error
+            try:
+                self.close()
+            except BaseException:
+                pass
+        return False
+
+
 def decode_disparity_png(png: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Cityscapes ``disparity_sequence`` uint16 PNG -> (disparity px, valid).
 
