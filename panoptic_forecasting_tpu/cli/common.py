@@ -128,10 +128,12 @@ def pipelined_map(fn, iterable, depth: int = 2):
     """Yield ``(fn(item), item)`` in order, computing the next item's
     ``fn`` on a background thread.
 
-    NOT used by the exporters: dispatching JAX computations from a
-    worker thread while the main thread fetches results deadlocks the
-    tunneled TPU attachment (observed: export hangs with ~0 CPU). Kept
-    for host-only pipelines (pure IO/decode overlap).
+    ``fn`` must be PURE HOST work (IO/decode): dispatching JAX
+    computations from a worker thread while the main thread fetches
+    results deadlocks the tunneled TPU attachment (observed: export
+    hangs with ~0 CPU). Used by the fused-forecast exporter to overlap
+    the next frame's pc input fetch with the device step; the iterable
+    itself is advanced on the caller's thread.
     """
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor

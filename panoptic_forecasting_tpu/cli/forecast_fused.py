@@ -38,7 +38,7 @@ from ..eval.panoptic_protocol import (
     segments_info_from_labelid_seg,
     write_panoptic_png,
 )
-from .common import export_writer, restore_params, setup
+from .common import export_writer, pipelined_map, restore_params, setup
 
 FG_KEYS = ("trajectories", "bbox_masks", "bbox_vel_masks", "depths",
            "depth_masks", "feats", "odometry", "classes", "valid")
@@ -119,12 +119,16 @@ def export_split(fg_model, fg_vars, bg_model, bg_vars, task_data, split,
     annotations = []
     n_done = n_skipped = 0
     loader = task_data.loader(split, cfg, test=True)
-    # Panoptic PNG encode+write overlaps the next frame's fused device
-    # step (JAX stays on this thread — AsyncWriter docs).
-    with export_writer(cfg) as w:
+
+    def frame_stream():
+        """(batch, i, name) per forecastable frame; builds the fused step
+        on first use. Advanced on the caller's thread by pipelined_map."""
+        nonlocal step, n_skipped
         for batch in loader:
             meta = batch["meta"]
-            out_t = int(np.asarray(batch["labels"]["trajectories"]).shape[2])
+            out_t = int(
+                np.asarray(batch["labels"]["trajectories"]).shape[2]
+            )
             if step is None:
                 step = build_forecast_step(
                     bg_model, fg_model, height=height, width=width,
@@ -136,32 +140,42 @@ def export_split(fg_model, fg_vars, bg_model, bg_vars, task_data, split,
                 if name not in pc_idx:
                     n_skipped += 1
                     continue
-                fg_in = {
-                    k: jnp.asarray(np.asarray(batch["inputs"][k])[i : i + 1])
-                    for k in FG_KEYS
-                }
-                fg_in["output_inds"] = jnp.asarray(
-                    np.asarray(batch["labels"]["output_inds"])[i : i + 1]
-                )
-                pc_in = {
-                    k: jnp.asarray(v)
-                    for k, v in _pc_inputs(pc_ds, pc_idx[name], lut).items()
-                }
-                fused = step(bg_vars, fg_vars, pc_in, fg_in)
-                seg = relabel_panoptic_trainid_to_labelid(
-                    np.asarray(fused["panoptic"][0]).astype(np.int64)
-                )
-                file_name = f"{name}_pred_panoptic.png"
-                w.submit(
-                    write_panoptic_png,
-                    os.path.join(seg_dir, file_name), seg,
-                )
-                annotations.append({
-                    "image_id": name,
-                    "file_name": file_name,
-                    "segments_info": segments_info_from_labelid_seg(seg),
-                })
-                n_done += 1
+                yield batch, i, name
+
+    # Two host-side overlaps around the fused device step, both pure
+    # host work (JAX stays on this thread — tunnel deadlock otherwise):
+    # the NEXT frame's pc input fetch (3 full-res PNG decodes + depth,
+    # pipelined_map's single worker) and the PREVIOUS frame's panoptic
+    # PNG encode+write (AsyncWriter pool).
+    with export_writer(cfg) as w:
+        for pc_np, (batch, i, name) in pipelined_map(
+            lambda t: _pc_inputs(pc_ds, pc_idx[t[2]], lut),
+            frame_stream(),
+            depth=2,
+        ):
+            fg_in = {
+                k: jnp.asarray(np.asarray(batch["inputs"][k])[i : i + 1])
+                for k in FG_KEYS
+            }
+            fg_in["output_inds"] = jnp.asarray(
+                np.asarray(batch["labels"]["output_inds"])[i : i + 1]
+            )
+            pc_in = {k: jnp.asarray(v) for k, v in pc_np.items()}
+            fused = step(bg_vars, fg_vars, pc_in, fg_in)
+            seg = relabel_panoptic_trainid_to_labelid(
+                np.asarray(fused["panoptic"][0]).astype(np.int64)
+            )
+            file_name = f"{name}_pred_panoptic.png"
+            w.submit(
+                write_panoptic_png,
+                os.path.join(seg_dir, file_name), seg,
+            )
+            annotations.append({
+                "image_id": name,
+                "file_name": file_name,
+                "segments_info": segments_info_from_labelid_seg(seg),
+            })
+            n_done += 1
 
     with open(os.path.join(result_dir, f"{export_name}.json"), "w",
               encoding="utf-8") as f:
