@@ -95,9 +95,12 @@ int pf_png_read(const char* path, uint8_t* out, int32_t height, int32_t width,
   return 0;
 }
 
+// filters: libpng PNG_FILTER_* mask (e.g. 0x08 = NONE-only, cheap and
+// near-optimal for flat id/label maps), or -1 for libpng's default
+// adaptive per-row selection (best for photographic content).
 int pf_png_write(const char* path, const uint8_t* data, int32_t height,
                  int32_t width, int32_t channels, int32_t bit_depth,
-                 int32_t compress_level) {
+                 int32_t compress_level, int32_t filters) {
   FILE* fp = fopen(path, "wb");
   if (!fp) return -1;
   png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr,
@@ -121,6 +124,7 @@ int pf_png_write(const char* path, const uint8_t* data, int32_t height,
   }
   png_init_io(png, fp);
   png_set_compression_level(png, compress_level);
+  if (filters >= 0) png_set_filter(png, PNG_FILTER_TYPE_BASE, filters);
   png_set_IHDR(png, info, width, height, bit_depth, color,
                PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
                PNG_FILTER_TYPE_DEFAULT);

@@ -20,7 +20,7 @@ from collections import defaultdict
 import numpy as np
 
 from ..data.cityscapes import TRAIN_ID_TO_ID
-from ..data.io import save_png
+from ..data.io import PNG_IDS, save_png
 from ..eval import fusion
 from ..train.loop import _strip_meta
 from .common import export_writer, restore_params, setup
@@ -55,6 +55,7 @@ def export_split(model, params, task_data, split, cfg) -> str:
                         save_png,
                         os.path.join(base, f"{name}_{cl}_{k}.png"),
                         (inst["mask"].astype(np.uint8) * 255),
+                        **PNG_IDS,
                     )
 
     for name, by_class in entries.items():

@@ -20,7 +20,13 @@ import jax
 import numpy as np
 
 from ..data.cityscapes import train_id_color_palette, train_id_to_id_lut
-from ..data.io import encode_depth_png, encode_disparity_from_depth, save_png
+from ..data.io import (
+    PNG_IDS,
+    PNG_SMOOTH16,
+    encode_depth_png,
+    encode_disparity_from_depth,
+    save_png,
+)
 from ..train.loop import _strip_meta
 from .common import export_writer, restore_params, setup
 
@@ -96,6 +102,7 @@ def export_split(model, params, task_data, split, cfg) -> str:
                         save_png,
                         os.path.join(out_dir, f"{name}_gtFine_labelIds.png"),
                         seg.astype(np.uint8),
+                        **PNG_IDS,
                     )
                 if save_depth and depths is not None:
                     d = depths[i]
@@ -104,12 +111,14 @@ def export_split(model, params, task_data, split, cfg) -> str:
                             save_png,
                             os.path.join(out_dir, f"{name}_disps.png"),
                             encode_disparity_from_depth(d, disp_factor),
+                            **PNG_SMOOTH16,
                         )
                     elif save_depth_as_png:
                         w.submit(
                             save_png,
                             os.path.join(out_dir, f"{name}_depths.png"),
                             encode_depth_png(d),
+                            **PNG_SMOOTH16,
                         )
                     else:
                         os.makedirs(out_dir, exist_ok=True)
@@ -161,7 +170,7 @@ def backfill_missing(base: str, split: str, cfg) -> int:
                     shape = np.array(Image.open(path)).shape
                     fill = 255 if no_convert else 0
                     arr = np.full(shape, fill, np.uint8)
-                w.submit(save_png, out, arr.astype(np.uint8))
+                w.submit(save_png, out, arr.astype(np.uint8), **PNG_IDS)
     return count
 
 

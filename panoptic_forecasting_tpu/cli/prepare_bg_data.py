@@ -30,7 +30,7 @@ import sys
 import numpy as np
 
 from ..data.cityscapes import id_to_train_id_lut
-from ..data.io import save_png
+from ..data.io import PNG_IDS, save_png
 from ..train.loop import _strip_meta
 from .common import setup
 
@@ -74,6 +74,7 @@ def prepare_split(task_data, split, cfg, out_dir: str) -> None:
                             seg_root, city, f"{name}_gtFine_labelIds.png"
                         ),
                         seg_train,
+                        **PNG_IDS,
                     )
                     key = f"{city}/{seq}/{frame:06d}/{start_fr}"
                     enc = np.where(

@@ -19,7 +19,7 @@ import sys
 import numpy as np
 
 from ..data.cityscapes import NUM_STUFF_CLASSES
-from ..data.io import load_png, save_png
+from ..data.io import PNG_IDS, load_png, save_png
 
 
 def remove_fg(seg: np.ndarray) -> np.ndarray:
@@ -49,6 +49,7 @@ def main(argv=None) -> None:
             save_png(
                 os.path.join(out_dir, os.path.basename(path)),
                 remove_fg(load_png(path)),
+                **PNG_IDS,
             )
             n += 1
     print(f"wrote {n} nofg label maps -> {out_root}")

@@ -49,14 +49,34 @@ def load_png_batch(paths) -> np.ndarray:
     return np.stack([load_png(p) for p in paths])
 
 
-def save_png(path: str, arr: np.ndarray) -> None:
+# PNG write profiles (measured on 1024x2048 Cityscapes-like content,
+# docs/perf_notes.md round 3). PNG is lossless under every profile; these
+# trade encode time vs bytes:
+#   PNG_IDS      id/label maps & binary masks: libpng's adaptive per-row
+#                filter search is pure waste on flat regions — NONE-only
+#                + level 1 encodes 4-6x faster (37->6 ms gray, 66->16 ms
+#                panoptic RGB) for a few extra KiB.
+#   PNG_SMOOTH16 16-bit depth/disparity gradients: keep adaptive row
+#                filters (NONE blows up size 2.5x) but drop to level 1
+#                (453->68 ms).
+PNG_IDS = {"compress_level": 1, "filters": 0x08}  # 0x08 = PNG_FILTER_NONE
+PNG_SMOOTH16 = {"compress_level": 1}
+
+
+def save_png(path: str, arr: np.ndarray, compress_level: int = 6,
+             filters: Optional[int] = None) -> None:
     from .. import native
 
     if native.available():
-        native.save_png(path, np.asarray(arr))
+        native.save_png(
+            path, np.asarray(arr), compress_level=compress_level,
+            filters=native.FILTER_ADAPTIVE if filters is None else filters,
+        )
         return
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    Image.fromarray(arr).save(path)
+    # PIL exposes compress_level only; the filter choice is a pure
+    # speed/size tradeoff, so the fallback stays correct.
+    Image.fromarray(arr).save(path, compress_level=compress_level)
 
 
 class AsyncWriter:

@@ -30,7 +30,7 @@ from ..data.cityscapes import (
     LABELS,
     train_id_to_id_lut,
 )
-from ..data.io import load_png, save_png
+from ..data.io import PNG_IDS, load_png, save_png
 from .pq import encode_panoptic_png
 
 
@@ -65,7 +65,7 @@ def segments_info_from_labelid_seg(seg: np.ndarray) -> List[Dict[str, Any]]:
 
 
 def write_panoptic_png(path: str, seg_labelid: np.ndarray) -> None:
-    save_png(path, encode_panoptic_png(seg_labelid))
+    save_png(path, encode_panoptic_png(seg_labelid), **PNG_IDS)
 
 
 # ---------------------------------------------------------------------------

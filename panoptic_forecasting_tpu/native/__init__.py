@@ -29,16 +29,22 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) and os.path.exists(
+    src = os.path.join(_DIR, "pf_native.cpp")
+    stale = os.path.exists(_SO) and os.path.exists(src) and (
+        os.path.getmtime(src) > os.path.getmtime(_SO)
+    )
+    if (not os.path.exists(_SO) or stale) and os.path.exists(
         os.path.join(_DIR, "Makefile")
     ):
+        # make's own mtime rule does the incremental decision; a stale
+        # .so must never load against a newer ctypes signature.
         try:
             subprocess.run(
                 ["make", "-C", _DIR], check=True, capture_output=True,
                 timeout=120,
             )
         except Exception:
-            return None
+            return None  # never load a stale .so against a newer binding
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
@@ -53,7 +59,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.pf_png_write.argtypes = [
         ctypes.c_char_p, ctypes.c_void_p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
     ]
     lib.pf_png_read_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32, ctypes.c_void_p,
@@ -111,7 +117,14 @@ def load_png(path: str) -> np.ndarray:
     return out
 
 
-def save_png(path: str, arr: np.ndarray, compress_level: int = 6) -> None:
+# libpng PNG_FILTER_* mask: NONE-only skips the per-row adaptive filter
+# search — near-free to encode and near-optimal for flat id/label maps.
+FILTER_NONE = 0x08
+FILTER_ADAPTIVE = -1  # libpng default: try all 5 filters per row
+
+
+def save_png(path: str, arr: np.ndarray, compress_level: int = 6,
+             filters: int = FILTER_ADAPTIVE) -> None:
     lib = _load()
     arr = np.ascontiguousarray(arr)
     if arr.dtype == np.int32 and arr.max(initial=0) < 65536 and arr.min(
@@ -129,7 +142,8 @@ def save_png(path: str, arr: np.ndarray, compress_level: int = 6) -> None:
     b = 16 if arr.dtype == np.uint16 else 8
     rc = lib.pf_png_write(path.encode(),
                           arr.ctypes.data_as(ctypes.c_void_p),
-                          arr.shape[0], arr.shape[1], c, b, compress_level)
+                          arr.shape[0], arr.shape[1], c, b, compress_level,
+                          filters)
     if rc != 0:
         raise IOError(f"pf_png_write({path}) failed: {rc}")
 

@@ -32,6 +32,29 @@ def test_png_roundtrip_matches_pil(tmp_path, arr):
     np.testing.assert_array_equal(np.array(Image.open(p_native)), arr)
 
 
+@pytest.mark.parametrize(
+    "arr",
+    [
+        np.random.RandomState(3).randint(0, 34, (37, 53), np.uint8),
+        np.random.RandomState(4).randint(0, 256, (16, 24, 3), np.uint8),
+        np.random.RandomState(5).randint(0, 65536, (21, 33), np.uint16),
+    ],
+    ids=["ids8", "rgb8", "gray16"],
+)
+def test_png_filter_profiles_lossless(tmp_path, arr):
+    """PNG stays lossless under every write profile (the filter/level
+    choice is pure speed/size, data/io.PNG_IDS + PNG_SMOOTH16) and stays
+    readable by PIL."""
+    from PIL import Image
+
+    for lvl, flt in ((1, native.FILTER_NONE), (1, native.FILTER_ADAPTIVE),
+                     (6, native.FILTER_NONE)):
+        p = str(tmp_path / f"f{lvl}_{flt}.png")
+        native.save_png(p, arr, compress_level=lvl, filters=flt)
+        np.testing.assert_array_equal(native.load_png(p), arr)
+        np.testing.assert_array_equal(np.array(Image.open(p)), arr)
+
+
 def test_png_batch_read(tmp_path):
     rng = np.random.RandomState(3)
     arrs = [rng.randint(0, 256, (20, 30), np.uint8) for _ in range(5)]
