@@ -60,6 +60,11 @@ def export_split(model, params, task_data, split, cfg) -> str:
                 seg = segs[i]
                 if not no_convert:
                     seg = relabel_panoptic_trainid_to_labelid(seg)
+                else:
+                    # A batch-array view would pin the whole batch in the
+                    # write queue; copy so max_pending bounds per-frame
+                    # memory as documented.
+                    seg = seg.copy()
                 file_name = f"{name}_pred_panoptic.png"
                 w.submit(
                     write_panoptic_png, os.path.join(seg_dir, file_name), seg

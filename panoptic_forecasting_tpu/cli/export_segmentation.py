@@ -122,9 +122,13 @@ def export_split(model, params, task_data, split, cfg) -> str:
                         )
                     else:
                         os.makedirs(out_dir, exist_ok=True)
+                        # d.copy(): a batch-array view would pin the whole
+                        # batch in the write queue (AsyncWriter max_pending
+                        # bounds per-frame memory, not per-batch).
                         w.submit(
                             np.save,
-                            os.path.join(out_dir, f"{name}_depths.npy"), d,
+                            os.path.join(out_dir, f"{name}_depths.npy"),
+                            d.copy(),
                         )
     if not (viz or is_img):
         backfill_missing(base, split, cfg)

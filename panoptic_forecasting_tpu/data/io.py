@@ -59,7 +59,10 @@ def load_png_batch(paths) -> np.ndarray:
 #   PNG_SMOOTH16 16-bit depth/disparity gradients: keep adaptive row
 #                filters (NONE blows up size 2.5x) but drop to level 1
 #                (453->68 ms).
-PNG_IDS = {"compress_level": 1, "filters": 0x08}  # 0x08 = PNG_FILTER_NONE
+# 0x08 = libpng PNG_FILTER_NONE == native.FILTER_NONE (kept literal here:
+# data.io must stay importable without triggering the native build;
+# tests/test_native_io.py pins the two constants equal).
+PNG_IDS = {"compress_level": 1, "filters": 0x08}
 PNG_SMOOTH16 = {"compress_level": 1}
 
 
@@ -73,7 +76,7 @@ def save_png(path: str, arr: np.ndarray, compress_level: int = 6,
             filters=native.FILTER_ADAPTIVE if filters is None else filters,
         )
         return
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # PIL exposes compress_level only; the filter choice is a pure
     # speed/size tradeoff, so the fallback stays correct.
     Image.fromarray(arr).save(path, compress_level=compress_level)

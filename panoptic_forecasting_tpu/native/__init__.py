@@ -25,29 +25,48 @@ _SO = os.path.join(_DIR, "libpf_native.so")
 _lib = None
 
 
+_failed = False  # build/load already failed once: don't retry per IO call
+
+
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _failed
     if _lib is not None:
         return _lib
+    if _failed:
+        return None
+
+    def fail(msg: str) -> None:
+        global _failed
+        _failed = True
+        print(f"WARNING: native IO disabled ({msg}); using PIL/numpy "
+              "fallbacks")
+
     src = os.path.join(_DIR, "pf_native.cpp")
     stale = os.path.exists(_SO) and os.path.exists(src) and (
         os.path.getmtime(src) > os.path.getmtime(_SO)
     )
-    if (not os.path.exists(_SO) or stale) and os.path.exists(
-        os.path.join(_DIR, "Makefile")
-    ):
-        # make's own mtime rule does the incremental decision; a stale
-        # .so must never load against a newer ctypes signature.
+    if not os.path.exists(_SO) or stale:
+        # A stale .so must never load against a newer ctypes signature —
+        # rebuild (make's mtime rule is the incremental decision), and
+        # refuse to load if that is impossible.
+        if not os.path.exists(os.path.join(_DIR, "Makefile")):
+            if stale:
+                fail(f"{_SO} is older than {src} and no Makefile to rebuild")
+            else:
+                fail(f"{_SO} missing and no Makefile to build it")
+            return None
         try:
             subprocess.run(
                 ["make", "-C", _DIR], check=True, capture_output=True,
                 timeout=120,
             )
-        except Exception:
-            return None  # never load a stale .so against a newer binding
+        except Exception as e:
+            fail(f"build failed: {e!r}")
+            return None
     try:
         lib = ctypes.CDLL(_SO)
-    except OSError:
+    except OSError as e:
+        fail(f"dlopen failed: {e}")
         return None
     lib.pf_png_probe.argtypes = [ctypes.c_char_p] + [
         ctypes.POINTER(ctypes.c_int32)

@@ -11,6 +11,14 @@ def test_native_builds_and_loads():
     assert native.available(), "libpf_native.so failed to build/load"
 
 
+def test_io_filter_profile_matches_native_constant():
+    """data/io.PNG_IDS keeps its own PNG_FILTER_NONE literal (io must not
+    trigger the native build at import); pin it to the native constant."""
+    from panoptic_forecasting_tpu.data.io import PNG_IDS
+
+    assert PNG_IDS["filters"] == native.FILTER_NONE
+
+
 @pytest.mark.parametrize(
     "arr",
     [
