@@ -73,6 +73,31 @@ def test_workers_zero_is_synchronous(tmp_path):
         AsyncWriter(workers=0).submit(boom)
 
 
+def test_writer_overlaps_slow_writes():
+    """4 workers must overlap IO-bound writes ≥2x vs in-line calls
+    (sleep-simulated IO so the assertion is scheduler-, not CPU-,
+    bound — same style as the loader throughput test)."""
+    import time
+
+    def slow_write():
+        time.sleep(0.02)
+
+    n = 16
+    t0 = time.perf_counter()
+    w = AsyncWriter(workers=0)
+    for _ in range(n):
+        w.submit(slow_write)
+    w.close()
+    sync_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    with AsyncWriter(workers=4, max_pending=8) as w:
+        for _ in range(n):
+            w.submit(slow_write)
+    thr_s = time.perf_counter() - t0
+    assert thr_s * 2 < sync_s, (thr_s, sync_s)
+
+
 def test_body_exception_not_masked(tmp_path):
     """A failure inside the with-body propagates even if a queued write
     also failed."""
