@@ -161,3 +161,42 @@ def test_viz_panoptic_overlay(tmp_path):
     assert tuple(out[20, 5]) == (0, 0, 142)
     # boundary between the two car instances is inverted color
     assert tuple(out[20, 30]) != (0, 0, 142)
+
+
+def test_viz_panoptic_mask_blanking(tmp_path):
+    """--mask_dir blanks unlabeled/ego/rectification pixels (labelIds
+    0-2) found via the 30-frame snippet search (reference
+    viz_cityscapes_panoptic.py:43-59,166-171)."""
+    from panoptic_forecasting_tpu.cli import viz_panoptic
+    from panoptic_forecasting_tpu.data.io import save_png
+    from panoptic_forecasting_tpu.eval.panoptic_protocol import (
+        segments_info_from_labelid_seg, write_panoptic_png)
+
+    seg = np.full((32, 64), 7, np.int64)  # all road
+    info = segments_info_from_labelid_seg(seg)
+    label_dir = tmp_path / "labels"
+    os.makedirs(label_dir)
+    write_panoptic_png(str(label_dir / "c_000000_000019_pred_panoptic.png"),
+                       seg)
+    ann_path = tmp_path / "ann.json"
+    with open(ann_path, "w") as f:
+        json.dump({"annotations": [
+            {"image_id": "c_000000_000019",
+             "file_name": "c_000000_000019_pred_panoptic.png",
+             "segments_info": info}]}, f)
+
+    # gt labelIds at the snippet's annotated frame (19 back): ego-vehicle
+    # (id 1) bottom rows, road elsewhere.
+    gt_ids = np.full((32, 64), 7, np.uint8)
+    gt_ids[-8:] = 1
+    save_png(str(tmp_path / "gtFine" / "c" /
+                 "c_000000_000000_gtFine_labelIds.png"), gt_ids)
+
+    out_dir = tmp_path / "viz"
+    viz_panoptic.main(["--annotations", str(ann_path),
+                       "--label_dir", str(label_dir),
+                       "--output_dir", str(out_dir),
+                       "--mask_dir", str(tmp_path / "gtFine")])
+    out = load_png(str(out_dir / "c_000000_000019_viz.png"))
+    assert tuple(out[2, 2]) == (128, 64, 128)   # road survives
+    assert tuple(out[-2, 2]) == (0, 0, 0)       # ego band blanked
