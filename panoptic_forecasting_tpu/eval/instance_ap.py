@@ -280,11 +280,11 @@ def summarize(stat: APStat,
 # ---------------------------------------------------------------------------
 
 def ap_compute_folders(pred_dir: str, gt_dir: str,
-                       min_region_size: int = MIN_REGION_SIZE
-                       ) -> Dict[str, Any]:
+                       min_region_size: int = MIN_REGION_SIZE,
+                       workers: int = None) -> Dict[str, Any]:
     from ..data.io import load_png
+    from .pq import _map_frames
 
-    stat = APStat()
     gt_paths = {
         "_".join(os.path.basename(p).split("_")[:3]): p
         for p in glob.glob(
@@ -302,15 +302,18 @@ def ap_compute_folders(pred_dir: str, gt_dir: str,
     # skip (which would drop that frame's gt instances from the FN pool
     # and inflate AP). Extra manifests without gt are ignored, matching
     # the external tool.
-    for name in sorted(gt_paths):
+    names = sorted(gt_paths)
+    for name in names:
         txt = os.path.join(pred_dir, name + ".txt")
         if not os.path.exists(txt):
             raise ValueError(
                 f"no prediction manifest for gt frame {name}: {txt}"
             )
+
+    def one(name) -> APStat:
         gt_map = load_png(gt_paths[name]).astype(np.int64)
         preds = []
-        with open(txt) as f:
+        with open(os.path.join(pred_dir, name + ".txt")) as f:
             for line in f:
                 parts = line.split()
                 if not parts:
@@ -319,8 +322,14 @@ def ap_compute_folders(pred_dir: str, gt_dir: str,
                     parts[0], int(parts[1]), float(parts[2])
                 mask = load_png(os.path.join(pred_dir, mask_file))
                 preds.append((mask, label_id, score))
-        stat += match_single_image(gt_map, preds,
-                                   min_region_size=min_region_size)
+        return match_single_image(gt_map, preds,
+                                  min_region_size=min_region_size)
+
+    # Threaded frame scoring (APStat merging is commutative; identical
+    # to the serial sweep, pinned by test).
+    stat = APStat()
+    for s in _map_frames(one, names, workers):
+        stat += s
     return summarize(stat)
 
 

@@ -229,32 +229,57 @@ def pq_compute_folders(
     pred_json: str,
     pred_dir: str,
     categories: Optional[Dict[int, Dict[str, Any]]] = None,
+    workers: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Score a prediction export against a gt export, both COCO-panoptic.
 
     Mirrors evalPanopticSemanticLabeling's directory protocol: every gt
     annotation must have a matching pred annotation (by image_id).
+    Frames score on a thread pool (numpy releases the GIL in the bulk
+    ops; PQStat merging is commutative so the result is identical to the
+    serial sweep — pinned by test). ``workers=1`` forces serial.
     """
     from ..data.io import load_png
 
     categories = categories or eval_categories()
     gt_anns = _load_annotations(gt_json)
     pred_anns = _load_annotations(pred_json)
-    stat = PQStat()
-    for image_id, ga in sorted(gt_anns.items()):
+    items = sorted(gt_anns.items())
+    for image_id, _ in items:
         if image_id not in pred_anns:
             raise ValueError(f"no prediction for image {image_id}")
+
+    def one(item) -> PQStat:
+        image_id, ga = item
         pa = pred_anns[image_id]
         gt_png = load_png(os.path.join(gt_dir, ga["file_name"]))
         pr_png = load_png(os.path.join(pred_dir, pa["file_name"]))
-        stat += pq_compute_single_image(
+        return pq_compute_single_image(
             decode_panoptic_png(gt_png),
             ga["segments_info"],
             decode_panoptic_png(pr_png),
             pa["segments_info"],
             categories,
         )
+
+    stat = PQStat()
+    for s in _map_frames(one, items, workers):
+        stat += s
     return summarize(stat, categories)
+
+
+def _map_frames(fn, items, workers: Optional[int]):
+    """Map a per-frame scorer over items, threaded unless workers<=1."""
+    w = min(8, os.cpu_count() or 1) if workers is None else int(workers)
+    if w <= 1 or len(items) <= 1:
+        return map(fn, items)
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=w)
+    try:
+        return list(ex.map(fn, items))
+    finally:
+        ex.shutdown(wait=True)
 
 
 def summarize(stat: PQStat,
