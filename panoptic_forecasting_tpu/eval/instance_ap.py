@@ -280,10 +280,9 @@ def summarize(stat: APStat,
 # ---------------------------------------------------------------------------
 
 def ap_compute_folders(pred_dir: str, gt_dir: str,
-                       min_region_size: int = MIN_REGION_SIZE,
-                       workers: int = None) -> Dict[str, Any]:
+                       min_region_size: int = MIN_REGION_SIZE
+                       ) -> Dict[str, Any]:
     from ..data.io import load_png
-    from .pq import _map_frames
 
     gt_paths = {
         "_".join(os.path.basename(p).split("_")[:3]): p
@@ -325,11 +324,11 @@ def ap_compute_folders(pred_dir: str, gt_dir: str,
         return match_single_image(gt_map, preds,
                                   min_region_size=min_region_size)
 
-    # Threaded frame scoring (APStat merging is commutative; identical
-    # to the serial sweep, pinned by test).
+    # Serial sweep on purpose: the matching is GIL-bound and a measured
+    # 4-thread pool ran 6x slower at full res (see pq_compute_folders).
     stat = APStat()
-    for s in _map_frames(one, names, workers):
-        stat += s
+    for name in names:
+        stat += one(name)
     return summarize(stat)
 
 

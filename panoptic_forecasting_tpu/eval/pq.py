@@ -229,15 +229,16 @@ def pq_compute_folders(
     pred_json: str,
     pred_dir: str,
     categories: Optional[Dict[int, Dict[str, Any]]] = None,
-    workers: Optional[int] = None,
 ) -> Dict[str, Any]:
     """Score a prediction export against a gt export, both COCO-panoptic.
 
     Mirrors evalPanopticSemanticLabeling's directory protocol: every gt
     annotation must have a matching pred annotation (by image_id).
-    Frames score on a thread pool (numpy releases the GIL in the bulk
-    ops; PQStat merging is commutative so the result is identical to the
-    serial sweep — pinned by test). ``workers=1`` forces serial.
+    Deliberately serial: the per-frame matching is GIL-bound (np.unique/
+    argsort on id maps), and a measured 4-thread sweep ran 6x SLOWER
+    than serial at full res (docs/perf_notes.md); panopticapi's process
+    pool is unsafe here (fork after JAX init / spawn re-enters the TPU
+    plugin).
     """
     from ..data.io import load_png
 
@@ -263,23 +264,9 @@ def pq_compute_folders(
         )
 
     stat = PQStat()
-    for s in _map_frames(one, items, workers):
-        stat += s
+    for item in items:
+        stat += one(item)
     return summarize(stat, categories)
-
-
-def _map_frames(fn, items, workers: Optional[int]):
-    """Map a per-frame scorer over items, threaded unless workers<=1."""
-    w = min(8, os.cpu_count() or 1) if workers is None else int(workers)
-    if w <= 1 or len(items) <= 1:
-        return map(fn, items)
-    from concurrent.futures import ThreadPoolExecutor
-
-    ex = ThreadPoolExecutor(max_workers=w)
-    try:
-        return list(ex.map(fn, items))
-    finally:
-        ex.shutdown(wait=True)
 
 
 def summarize(stat: PQStat,

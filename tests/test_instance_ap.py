@@ -226,21 +226,6 @@ def test_ap_folder_protocol_roundtrip(tmp_path):
     out = instance_ap.format_results(res)
     assert "all" in out and "car" in out
 
-    # Threaded frame scoring is bit-identical to the serial sweep
-    # (classes with no gt/preds are NaN, so compare NaN-aware).
-    import math
-
-    def same(a, b):
-        if isinstance(a, dict):
-            return a.keys() == b.keys() and all(same(a[k], b[k]) for k in a)
-        if isinstance(a, float) and math.isnan(a):
-            return isinstance(b, float) and math.isnan(b)
-        return a == b
-
-    gt = str(tmp_path / "gtFine" / "val")
-    assert same(ap_compute_folders(str(pred_dir), gt, workers=1),
-                ap_compute_folders(str(pred_dir), gt, workers=4))
-
 
 def test_ap_folder_missing_prediction_raises(tmp_path):
     """The sweep is driven from the GT list (evalInstanceLevelSemantic-
