@@ -741,3 +741,163 @@ def test_fg_loss_golden(ref):
             my_v, ref_v, rtol=1e-5, atol=1e-6,
             err_msg=f"loss key {k} diverged",
         )
+
+
+# ---------------------------------------------------------------------------
+# Data transforms: pad/crop/flip geometry vs the reference's own transforms
+# ---------------------------------------------------------------------------
+
+
+def _ref_transforms(monkeypatch, s_val, ints):
+    """Import the reference transforms with its random draws pinned:
+    random.uniform -> s_val, random.randint -> successive ``ints``."""
+    _install_reference_stubs()
+    from panoptic_forecasting.data import transforms as ref_t
+
+    it = iter(ints)
+    monkeypatch.setattr(ref_t.random, "uniform", lambda a, b: s_val)
+    monkeypatch.setattr(ref_t.random, "randint", lambda a, b: next(it))
+    return ref_t
+
+
+class _FixedRng:
+    """np.random.RandomState stand-in yielding the same pinned draws."""
+
+    def __init__(self, s_val, ints, rand=0.9):
+        self.s_val, self._ints, self._rand = s_val, iter(ints), rand
+
+    def uniform(self, a, b):
+        return self.s_val
+
+    def randint(self, a, b):  # ours is exclusive-high; same value fits both
+        return next(self._ints)
+
+    def rand(self):
+        return self._rand
+
+
+def _sample(h=40, w=60, seed=3):
+    rng = np.random.RandomState(seed)
+    segs = [rng.randint(0, 34, (h, w)).astype(np.uint8) for _ in range(3)]
+    gt = rng.randint(0, 34, (h, w)).astype(np.uint8)
+    arrs = [rng.rand(h, w, 1).astype(np.float32)]
+    return segs, gt, arrs
+
+
+def _as_pil(segs, gt):
+    from PIL import Image
+
+    return [Image.fromarray(x) for x in segs], Image.fromarray(gt)
+
+
+def test_transforms_crop_golden_no_resize(monkeypatch):
+    """Crop smaller than the image at scale 1 (crop == target, resize is
+    identity): geometry and content must match the reference exactly
+    (RandomSizeAndCropMasks_Faster, transforms.py:169-274)."""
+    from panoptic_forecasting_tpu.data.transforms import RandomScaleCrop
+
+    segs, gt, arrs = _sample()
+    x1, y1 = 5, 3
+    ref_t = _ref_transforms(monkeypatch, 1.0, [x1, y1])
+    ref_crop = ref_t.RandomSizeAndCropMasks_Faster(
+        32, crop_nopad=False, scale_min=0.5, scale_max=2.0,
+        ignore_index=255,
+    )
+    psegs, pgt = _as_pil(segs, gt)
+    r_segs, r_gt, r_arrs = ref_crop(psegs, pgt, [a.copy() for a in arrs])
+
+    mine = RandomScaleCrop(32, 0.5, 2.0, ignore_index=255)
+    m_segs, m_gt, m_arrs = mine(
+        [x.copy() for x in segs], gt.copy(), [a.copy() for a in arrs],
+        _FixedRng(1.0, [x1, y1]),
+    )
+    for r, m in zip(r_segs, m_segs):
+        np.testing.assert_array_equal(np.array(r), m)
+    np.testing.assert_array_equal(np.array(r_gt), m_gt)
+    for r, m in zip(r_arrs, m_arrs):
+        np.testing.assert_allclose(np.asarray(r).reshape(m.shape), m)
+
+
+def test_transforms_crop_golden_with_padding(monkeypatch):
+    """Crop taller than the image: the ignore-index padding geometry must
+    match the reference (border (crop-h)//2+1, fill 255 for labels, 0 for
+    float arrays; transforms.py:197-222)."""
+    from panoptic_forecasting_tpu.data.transforms import RandomScaleCrop
+
+    segs, gt, arrs = _sample(h=40, w=60)
+    # size 48 at s=1: crop_h 48 > 40 -> pad; crop_w 48 < 60 -> random x1.
+    x1, y1 = 7, 1
+    ref_t = _ref_transforms(monkeypatch, 1.0, [x1, y1])
+    ref_crop = ref_t.RandomSizeAndCropMasks_Faster(
+        48, crop_nopad=False, scale_min=0.5, scale_max=2.0,
+        ignore_index=255,
+    )
+    psegs, pgt = _as_pil(segs, gt)
+    r_segs, r_gt, r_arrs = ref_crop(psegs, pgt, [a.copy() for a in arrs])
+
+    mine = RandomScaleCrop(48, 0.5, 2.0, ignore_index=255)
+    m_segs, m_gt, m_arrs = mine(
+        [x.copy() for x in segs], gt.copy(), [a.copy() for a in arrs],
+        _FixedRng(1.0, [x1, y1]),
+    )
+    for r, m in zip(r_segs, m_segs):
+        np.testing.assert_array_equal(np.array(r), m)
+    np.testing.assert_array_equal(np.array(r_gt), m_gt)
+    for r, m in zip(r_arrs, m_arrs):
+        np.testing.assert_allclose(np.asarray(r).reshape(m.shape), m)
+    assert (m_gt == 255).any()  # padding actually happened
+
+
+def test_transforms_crop_golden_scaled_arrs(monkeypatch):
+    """Scaled crop (s != 1, real resize): float arrays must match exactly —
+    both sides resize arrs with cv2 INTER_NEAREST. (Label maps go through
+    PIL in the reference vs cv2 here; PIL and cv2 nearest disagree on
+    boundary pixels, so labels are compared in the no-resize cases.)"""
+    from panoptic_forecasting_tpu.data.transforms import RandomScaleCrop
+
+    segs, gt, arrs = _sample(h=50, w=70)
+    s = 1.4  # crop 44x44 -> resized back to 32x32
+    x1, y1 = 11, 2
+    ref_t = _ref_transforms(monkeypatch, s, [x1, y1])
+    ref_crop = ref_t.RandomSizeAndCropMasks_Faster(
+        32, crop_nopad=False, scale_min=0.5, scale_max=2.0,
+        ignore_index=255,
+    )
+    psegs, pgt = _as_pil(segs, gt)
+    _, _, r_arrs = ref_crop(psegs, pgt, [a.copy() for a in arrs])
+
+    mine = RandomScaleCrop(32, 0.5, 2.0, ignore_index=255)
+    _, _, m_arrs = mine(
+        [x.copy() for x in segs], gt.copy(), [a.copy() for a in arrs],
+        _FixedRng(s, [x1, y1]),
+    )
+    for r, m in zip(r_arrs, m_arrs):
+        np.testing.assert_allclose(np.asarray(r).reshape(m.shape), m)
+
+
+def test_transforms_flip_golden(monkeypatch):
+    """Forced flip matches the reference's FLIP_LEFT_RIGHT exactly
+    (transforms.py:276-293)."""
+    from panoptic_forecasting_tpu.data.transforms import (
+        RandomHorizontalFlip,
+    )
+
+    segs, gt, arrs = _sample()
+    _install_reference_stubs()
+    from panoptic_forecasting.data import transforms as ref_t
+
+    monkeypatch.setattr(ref_t.random, "random", lambda: 0.1)  # flips
+    psegs, pgt = _as_pil(segs, gt)
+    r_segs, r_gt, r_arrs = ref_t.RandomHorizontallyFlip()(
+        psegs, pgt, [a.copy() for a in arrs]
+    )
+
+    m_segs, m_gt, m_arrs = RandomHorizontalFlip()(
+        [x.copy() for x in segs], gt.copy(), [a.copy() for a in arrs],
+        _FixedRng(0, [], rand=0.1),  # < 0.5 flips, same convention
+    )
+    for r, m in zip(r_segs, m_segs):
+        np.testing.assert_array_equal(np.array(r), m)
+    np.testing.assert_array_equal(np.array(r_gt), m_gt)
+    for r, m in zip(r_arrs, m_arrs):
+        np.testing.assert_allclose(np.asarray(r).reshape(m.shape), m)
