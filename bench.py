@@ -173,6 +173,14 @@ def measure_tpu_stages(k: int = K) -> dict:
         lambda s: jnp.asarray(rng.randn(*s.shape).astype(s.dtype) * 0.05),
         bg_vars,
     )
+    # BN variances must be positive: fold_batchnorm_variables computes
+    # gamma/sqrt(var+eps), and a randn-initialized var is negative ~half
+    # the time -> NaN folded weights -> a NaN-saturated graph under test.
+    bg_vars = jax.tree_util.tree_map_with_path(
+        lambda path, x: jnp.abs(x) + 0.5
+        if any(getattr(k, "key", None) == "var" for k in path) else x,
+        bg_vars,
+    )
     # Serving configuration: conv+BN folded (models/hardnet.py
     # fold_batchnorm_variables) — the BN-free inference graph.
     from panoptic_forecasting_tpu.models.hardnet import (

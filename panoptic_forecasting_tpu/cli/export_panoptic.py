@@ -76,7 +76,7 @@ def export_split(model, params, task_data, split, cfg) -> str:
                 })
                 exported.add(name)
 
-    _backfill_missing(cfg, task_data, split, seg_dir, exported, annotations)
+    backfill_missing(cfg, split, seg_dir, exported, annotations)
 
     with open(os.path.join(result_dir, f"{export_name}.json"), "w",
               encoding="utf-8") as f:
@@ -86,7 +86,7 @@ def export_split(model, params, task_data, split, cfg) -> str:
     return result_dir
 
 
-def _backfill_missing(cfg, task_data, split, seg_dir, exported, annotations):
+def backfill_missing(cfg, split, seg_dir, exported, annotations):
     """Fill frames missing from the export with the bg canvas / zeros
     (reference :124-168) so the PQ tool sees every gt frame."""
     cityscapes_dir = cfg.get("data", {}).get("cityscapes_dir")

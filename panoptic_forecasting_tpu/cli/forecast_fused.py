@@ -39,6 +39,7 @@ from ..eval.panoptic_protocol import (
     write_panoptic_png,
 )
 from .common import export_writer, pipelined_map, restore_params, setup
+from .export_panoptic import backfill_missing
 
 FG_KEYS = ("trajectories", "bbox_masks", "bbox_vel_masks", "depths",
            "depth_masks", "feats", "odometry", "classes", "valid")
@@ -117,6 +118,7 @@ def export_split(fg_model, fg_vars, bg_model, bg_vars, task_data, split,
 
     step = None
     annotations = []
+    exported = set()
     n_done = n_skipped = 0
     loader = task_data.loader(split, cfg, test=True)
 
@@ -175,7 +177,14 @@ def export_split(fg_model, fg_vars, bg_model, bg_vars, task_data, split,
                 "file_name": file_name,
                 "segments_info": segments_info_from_labelid_seg(seg),
             })
+            exported.add(name)
             n_done += 1
+
+    # Frames without pc inputs (or filtered from the fg loader) get the
+    # same defensive backfill as the staged exporter — without it the PQ
+    # protocol scorer hard-fails on the first un-forecast gt frame
+    # (reference export_cityscapes_panoptic_results.py:124-168).
+    backfill_missing(cfg, split, seg_dir, exported, annotations)
 
     with open(os.path.join(result_dir, f"{export_name}.json"), "w",
               encoding="utf-8") as f:

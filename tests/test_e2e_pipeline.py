@@ -221,7 +221,20 @@ def test_full_chain(world):
         assert set(np.unique(got)) == set(np.unique(want)), path
         mismatch = float((got != want).mean())
         assert mismatch < 0.02, f"{path}: {mismatch:.2%} pixels differ"
-    with open(os.path.join(
+    fused_json = os.path.join(
         fg_dir, "fused_panoptics_val", "fused_panoptics_val.json"
-    )) as f:
+    )
+    with open(fused_json) as f:
         assert len(json.load(f)["annotations"]) == len(fused_pngs)
+
+    # The fused export must score through the same PQ protocol as the
+    # staged one (incl. the backfill of gt frames the fused loader
+    # skipped — without it pq_compute_folders raises on the first
+    # un-forecast frame, scripts/fg/run_fused_eval_panoptic.sh).
+    fused_results = evaluate_panoptic.main([
+        "--pred_json", fused_json, "--pred_dir", fused_dir,
+        "--cityscapes_dir", cs, "--split", "val",
+        "--results_json", os.path.join(root, "pq_fused.json"),
+    ])
+    assert np.isfinite(fused_results["All"]["pq"])
+    assert fused_results["All"]["n"] >= 1

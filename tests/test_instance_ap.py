@@ -347,26 +347,29 @@ def _naive_ap(images, label_id, th, min_region=100):
                for m, lid, s in preds
                if lid == label_id and (m != 0).sum() > 0):
         return 0.0
-    y = np.asarray(ys, float)
-    s = np.asarray(ss, float)
-    order = np.argsort(s, kind="stable")
-    y, s = y[order], s[order]
-    cum = np.append(np.cumsum(y), 0.0)
-    _, uniq = np.unique(s, return_index=True)
-    n, ntrue = len(s), (cum[-2] if len(s) else 0.0)
-    prec = np.zeros(len(uniq) + 1)
-    rec = np.zeros(len(uniq) + 1)
-    for oi, idx in enumerate(uniq):
-        below = cum[idx - 1]
-        tp = ntrue - below
-        fp = n - idx - tp
-        fn = below + hard_fns
-        prec[oi] = tp / (tp + fp)
-        rec[oi] = tp / (tp + fn) if tp + fn else 0.0
-    prec[-1] = 1.0
-    rec[-1] = 0.0
-    r = np.concatenate([[rec[0]], rec, [0.0]])
-    return float(np.dot(prec, np.convolve(r, [-0.5, 0, 0.5], "valid")))
+    # PR-curve integration re-derived from the protocol definition with
+    # explicit per-threshold filtering — deliberately NOT the
+    # cumsum/unique-index/convolve arithmetic of _curve_ap, so that code
+    # is independently checked too: for each unique confidence cutoff
+    # keep predictions with score >= cutoff, compute (precision, recall),
+    # close the curve with the (recall 0, precision 1) sentinel, and
+    # integrate with centered recall differences.
+    total_true = sum(ys)
+    pts = []
+    for t in sorted(set(ss)):
+        kept = [(s2, y2) for s2, y2 in zip(ss, ys) if s2 >= t]
+        tp = float(sum(y2 for _, y2 in kept))
+        fp = float(len(kept)) - tp
+        fn = (total_true - tp) + hard_fns
+        prec_t = tp / (tp + fp)
+        rec_t = tp / (tp + fn) if (tp + fn) else 0.0
+        pts.append((rec_t, prec_t))
+    pts.append((0.0, 1.0))
+    recs = [pts[0][0]] + [r for r, _ in pts] + [0.0]
+    return float(sum(
+        p * (recs[i] - recs[i + 2]) / 2.0
+        for i, (_, p) in enumerate(pts)
+    ))
 
 
 def test_randomized_cross_check_vs_naive():
