@@ -110,6 +110,29 @@ def convert_gt_split(cityscapes_dir: str, split: str, out_dir: str,
     annotations = []
     paths = sorted(glob.glob(os.path.join(gt_root, "*",
                                           "*_gtFine_instanceIds.png")))
+    json_path = os.path.join(out_dir, f"cityscapes_panoptic_{split}.json")
+
+    # Reuse a previous conversion when it covers exactly the requested
+    # frame set (GT is immutable; reconverting ~500 full-res frames costs
+    # about a minute per eval run otherwise).
+    wanted = {
+        "_".join(os.path.basename(p).split("_")[:3])
+        for p in paths
+        if frames is None or "_".join(os.path.basename(p).split("_")[:3])
+        in frames
+    }
+    if os.path.exists(json_path):
+        try:
+            with open(json_path) as f:
+                prev = json.load(f)["annotations"]
+            if {a["image_id"] for a in prev} == wanted and all(
+                os.path.exists(os.path.join(png_dir, a["file_name"]))
+                for a in prev
+            ):
+                return json_path
+        except (ValueError, KeyError, OSError):
+            pass  # corrupt/partial previous conversion: redo it
+
     for path in paths:
         name = os.path.basename(path)
         image_id = "_".join(name.split("_")[:3])
@@ -123,7 +146,6 @@ def convert_gt_split(cityscapes_dir: str, split: str, out_dir: str,
             "file_name": file_name,
             "segments_info": segments,
         })
-    json_path = os.path.join(out_dir, f"cityscapes_panoptic_{split}.json")
     with open(json_path, "w") as f:
         json.dump({"annotations": annotations}, f)
     return json_path

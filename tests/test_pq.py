@@ -1,5 +1,6 @@
 """PQ evaluator + panoptic file protocol: hand-computed golden cases."""
 
+import glob
 import json
 import os
 
@@ -271,3 +272,45 @@ def test_randomized_cross_check_vs_naive():
             got = ([s.iou, s.tp, s.fp, s.fn] if s else [0.0, 0, 0, 0])
             assert got[1:] == wv[1:], (trial, c, got, wv)
             assert got[0] == pytest.approx(wv[0]), (trial, c)
+
+
+def test_convert_gt_split_reuses_complete_conversion(tmp_path):
+    """GT conversion is reused when it covers exactly the requested frame
+    set (GT is immutable; reconverting a full split costs ~a minute per
+    eval run), and redone when incomplete."""
+    import time
+
+    from panoptic_forecasting_tpu.data.io import save_png
+    from panoptic_forecasting_tpu.eval.panoptic_protocol import (
+        convert_gt_split,
+    )
+
+    cs = tmp_path / "cs"
+    gt_dir = cs / "gtFine" / "val" / "city"
+    os.makedirs(gt_dir)
+    for fr in ("000019", "000049"):
+        inst = np.full((16, 32), 7, np.int32)
+        inst[8:, :8] = 26000 + int(fr[-2:])
+        save_png(str(gt_dir / f"city_000000_{fr}_gtFine_instanceIds.png"),
+                 inst)
+    out = str(tmp_path / "conv")
+    jp = convert_gt_split(str(cs), "val", out)
+    png_dir = os.path.join(out, "cityscapes_panoptic_val")
+    pngs = sorted(glob.glob(os.path.join(png_dir, "*.png")))
+    assert len(pngs) == 2
+    mtimes = [os.path.getmtime(p) for p in pngs]
+
+    time.sleep(0.05)
+    assert convert_gt_split(str(cs), "val", out) == jp
+    assert [os.path.getmtime(p) for p in pngs] == mtimes  # reused, no rewrite
+
+    # A missing PNG invalidates the reuse: conversion runs again.
+    os.remove(pngs[0])
+    convert_gt_split(str(cs), "val", out)
+    assert os.path.exists(pngs[0])
+
+    # A narrower frame filter does not reuse the full-split conversion.
+    jp2 = convert_gt_split(str(cs), "val", str(tmp_path / "conv2"),
+                           frames={"city_000000_000019"})
+    with open(jp2) as f:
+        assert len(json.load(f)["annotations"]) == 1
