@@ -22,4 +22,5 @@ python -m panoptic_forecasting_tpu.cli.evaluate_panoptic \
     --pred_json "$WORKING_DIR/fused_panoptics_val/fused_panoptics_val.json" \
     --pred_dir "$WORKING_DIR/fused_panoptics_val/fused_panoptics_val" \
     --cityscapes_dir "$CITYSCAPES_DIR" --split val \
+    --gt_out "$WORKING_DIR/gt_panoptic" \
     --results_json "$WORKING_DIR/pq_results_fused.json"

@@ -164,6 +164,7 @@ def test_full_chain(world):
         "--pred_json", pred_json, "--pred_dir", pred_dir,
         "--cityscapes_dir", cs, "--split", "val",
         "--results_json", os.path.join(root, "pq.json"),
+        "--gt_out", os.path.join(root, "gt_panoptic"),
     ])
     assert np.isfinite(results["All"]["pq"])
     assert results["All"]["n"] >= 1
@@ -235,6 +236,9 @@ def test_full_chain(world):
         "--pred_json", fused_json, "--pred_dir", fused_dir,
         "--cityscapes_dir", cs, "--split", "val",
         "--results_json", os.path.join(root, "pq_fused.json"),
+        # shared gt_out: the fused eval must REUSE the staged eval's
+        # GT conversion (convert_gt_split idempotence)
+        "--gt_out", os.path.join(root, "gt_panoptic"),
     ])
     assert np.isfinite(fused_results["All"]["pq"])
     assert fused_results["All"]["n"] >= 1
