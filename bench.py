@@ -600,7 +600,43 @@ def _run_tpu_subprocess(mode: str, timeout: int = 300, retries: int = 1):
     return None
 
 
+def _tpu_reachable(tries: int = 2, timeout: int = 150) -> bool:
+    """Cheap pre-flight: can a fresh process complete one device op?
+
+    When the tunnel is down, every measurement subprocess burns its full
+    timeout (stages+fused with retries ≈ 50 min of hanging); two 150 s
+    probes bound that to 5 min. Two tries because a fresh process can
+    wedge its first device call even when the tunnel is fine (known
+    failure mode, docs/perf_notes.md).
+    """
+    import subprocess
+
+    for _ in range(tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "print(float(jnp.ones(3).sum()))"],
+                capture_output=True, text=True, timeout=timeout,
+            )
+            if r.returncode == 0 and r.stdout.strip():
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(10)
+    return False
+
+
 def main() -> None:
+    if not _tpu_reachable():
+        print(json.dumps({
+            "metric": "e2e_forecast_fps", "value": -1.0,
+            "unit": "frames/sec",
+            "vs_baseline": -1.0,
+            "error": "TPU attachment unreachable (device-op probe timed "
+                     "out twice; tunnel down — see bench.py _tpu_reachable)",
+        }))
+        return
     # 900 s: covers cold compiles of every stage program (two pc
     # variants, bg, fg, fusion scan loops) through the tunnel after a
     # kernel change invalidates the cache; warm-cache repeats ~60 s.
