@@ -43,7 +43,25 @@ def init_distributed(cfg) -> bool:
         if cfg.get(k) is not None:
             kw[k] = cfg[k]
     jax.distributed.initialize(**kw)
+    _silence_nonmain_prints()
     return True
+
+
+def _silence_nonmain_prints() -> None:
+    """Non-main processes print only with ``print(..., force=True)`` —
+    the reference's setup_for_distributed monkey-patch (dist.py:35-47),
+    so a pod run emits one progress stream instead of N interleaved."""
+    if jax.process_index() == 0:
+        return
+    import builtins
+
+    orig = builtins.print
+
+    def quiet_print(*args, **kwargs):
+        if kwargs.pop("force", False):
+            orig(*args, **kwargs)
+
+    builtins.print = quiet_print
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:

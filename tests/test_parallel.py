@@ -97,7 +97,14 @@ from jax.experimental import multihost_utils
 
 got = multihost_utils.process_allgather(jnp.array([pid + 1]))
 assert got.reshape(-1).tolist() == [1, 2], got
-print(f"RANK{pid} main={int(is_main_process())} n={jax.device_count()}")
+# Non-main prints are silenced (reference setup_for_distributed,
+# dist.py:35-47); force=True is the escape hatch.
+if pid == 0:
+    print(f"RANK0 main={int(is_main_process())} n={jax.device_count()}")
+else:
+    print("SHOULD-NOT-APPEAR")
+    print(f"RANK1 main={int(is_main_process())} n={jax.device_count()}",
+          force=True)
 """
     addr = f"localhost:{port}"
     env = dict(
@@ -118,6 +125,7 @@ print(f"RANK{pid} main={int(is_main_process())} n={jax.device_count()}")
         assert p.returncode == 0, f"rank {i} failed:\n{out}"
     assert "RANK0 main=1" in outs[0]
     assert "RANK1 main=0" in outs[1]
+    assert "SHOULD-NOT-APPEAR" not in outs[1]  # plain print silenced
     # 2 processes x 2 local devices = 4 global devices on both ranks
     assert "n=4" in outs[0] and "n=4" in outs[1]
 
