@@ -245,18 +245,33 @@ class LazyH5:
     """
 
     def __init__(self, path: str):
+        import threading
+
         self.path = path
         self._fh = None
         self._pid: Optional[int] = None
+        self._lock = threading.Lock()
 
     def handle(self):
         import h5py
 
         pid = os.getpid()
         if self._fh is None or self._pid != pid:
-            self._fh = h5py.File(self.path, "r")
-            self._pid = pid
+            # Double-checked: the threaded loader (pf-loader pool) can hit
+            # the first open concurrently; without the lock both threads
+            # open the file and one handle leaks.
+            with self._lock:
+                if self._fh is None or self._pid != pid:
+                    self._fh = h5py.File(self.path, "r")
+                    self._pid = pid
         return self._fh
+
+    def __getstate__(self):
+        # Handles and locks don't pickle; reopen lazily after transport.
+        return {"path": self.path}
+
+    def __setstate__(self, state):
+        self.__init__(state["path"])
 
     def __getitem__(self, key):
         return self.handle()[key]

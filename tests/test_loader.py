@@ -176,3 +176,39 @@ def test_threaded_fetch_overlaps_decode_cost():
     assert n_sync == n_fast == 8
     assert t_sync >= 0.6  # 64 x 10 ms decode, serial
     assert t_fast * 2 < t_sync, (t_fast, t_sync)
+
+
+def test_lazyh5_concurrent_first_open_single_handle(tmp_path):
+    """pf-loader threads hitting the first open concurrently must share ONE
+    h5py handle (double-checked lock in LazyH5.handle)."""
+    import threading
+
+    import h5py
+
+    from panoptic_forecasting_tpu.data.io import LazyH5
+
+    path = str(tmp_path / "x.h5")
+    with h5py.File(path, "w") as f:
+        f["d"] = np.arange(8)
+
+    lazy = LazyH5(path)
+    got = []
+    barrier = threading.Barrier(8)
+
+    def worker():
+        barrier.wait()
+        got.append(lazy.handle())
+
+    ts = [threading.Thread(target=worker) for _ in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert len({id(h) for h in got}) == 1
+    np.testing.assert_array_equal(np.asarray(lazy["d"]), np.arange(8))
+    lazy.close()
+
+    # pickling transports the path only; the handle reopens lazily
+    import pickle
+
+    back = pickle.loads(pickle.dumps(LazyH5(path)))
+    np.testing.assert_array_equal(np.asarray(back["d"]), np.arange(8))
+    back.close()
