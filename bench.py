@@ -187,29 +187,29 @@ def measure_tpu_stages(k: int = K) -> dict:
         fold_batchnorm_variables,
     )
 
-    net_f = HarDNet(n_classes=11, folded=True)
+    net_f = HarDNet(n_classes=11, folded=True, skip_stem0=True)
     bg_vars_f = fold_batchnorm_variables(bg_vars)
+    from panoptic_forecasting_tpu.kernels.stem import onehot_stem_conv
 
     def bg_step(x, s):
         # Production consumer: argmax seg map for the fusion stage
-        # (BGModel.predict), not raw logits. Assembly mirrors
-        # BGModel._assemble (one-hot 11 classes x 3 frames + 3 normalized
-        # masked depth planes = 36 channels) so the one-hot fuses into
-        # the stem conv instead of round-tripping 302 MB through HBM.
+        # (BGModel.predict), not raw logits. Serving path: the fused
+        # one-hot Pallas stem (kernels/stem.py) computes assembly +
+        # base_0 from the INT maps directly (the XLA one-hot + 36-ch
+        # stride-2 conv costs ~6.5 ms; the kernel ~1.9 ms), then the
+        # folded net runs from base_1 — exactly BGModel.forward's
+        # folded-TPU route.
         seg, dep = x
         # Vary the int map per iteration: a loop-invariant seg lets XLA
-        # hoist the one-hot out of the scan and re-read a materialized
-        # (H, W, 33) f32 array every step, which is NOT what production
-        # does (each batch is fresh) and costs ~1 ms extra.
+        # hoist the stem out of the scan, which is NOT what production
+        # does (each batch is fresh).
         seg = (seg + s.astype(jnp.int32)) % 13
-        seg_t = jnp.transpose(seg, (0, 2, 3, 1))
-        mask = seg_t < 11
-        oh = jax.nn.one_hot(jnp.where(mask, seg_t, 0), 11,
-                            dtype=jnp.float32) * mask[..., None]
-        b, hh, ww = oh.shape[:3]
-        dn = (jnp.transpose(dep, (0, 2, 3, 1)) + 0.001 * s - 30.0) / 20.0
-        xin = jnp.concatenate([oh.reshape(b, hh, ww, 33), dn], axis=-1)
-        logits = net_f.apply(bg_vars_f, xin)
+        dn = (dep + 0.001 * s - 30.0) / 20.0  # assembled depth channels
+        p0 = bg_vars_f["params"]["base_0"]["conv"]
+        y0 = onehot_stem_conv(
+            seg, dn, p0["kernel"], p0["bias"], num_classes=11
+        )
+        logits = net_f.apply(bg_vars_f, y0)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     results["bg_ms"] = _timed(scan_loop(bg_step), (x_bg,), k) * 1e3

@@ -65,6 +65,13 @@ class BGModel(TaskModel):
         self._folded_module = HarDNet(
             n_classes=self.num_classes, dtype=self.compute_dtype, folded=True
         )
+        # 'auto' runs the fused one-hot Pallas stem (kernels/stem.py) for
+        # folded inference on TPU; True forces it, False disables.
+        self.stem_kernel = m.get("stem_kernel", "auto")
+        self._folded_nostem_module = HarDNet(
+            n_classes=self.num_classes, dtype=self.compute_dtype,
+            folded=True, skip_stem0=True,
+        )
 
     # -- inference-time conv+BN folding (v2_transform capability) ----------
     fold_variables = staticmethod(fold_batchnorm_variables)
@@ -121,13 +128,37 @@ class BGModel(TaskModel):
             x = jnp.concatenate([x, dep.astype(x.dtype)], axis=-1)
         return x
 
+    def _stem_kernel_on(self, module, seg, depth, train) -> bool:
+        """Route folded TPU inference through the fused one-hot Pallas
+        stem (kernels/stem.py) — the assembly + base_0 conv otherwise
+        cost ~8.4 ms of the ~14 ms bg step at 1024x2048 (lane-padded
+        one-hot traffic + an off-roofline 36-ch conv; docs/perf_notes.md).
+        """
+        if train or not self.convert2onehot:
+            return False
+        if module is not self._folded_module:
+            return False
+        if seg.shape[-1] % 2 or seg.shape[-2] % 2:
+            return False
+        if self.use_depth_inps != (depth is not None):
+            return False
+        if self.stem_kernel == "auto":
+            import jax
+
+            return jax.default_backend() == "tpu"
+        return bool(self.stem_kernel)  # True / "interpret" force it on
+
+    @property
+    def _stem_interpret(self) -> bool:
+        return self.stem_kernel == "interpret"
+
     def forward(self, variables, batch, train=False, return_orig_size=False,
                 mutable=False):
         inp = batch["inputs"]
-        x = self._assemble(
-            jnp.asarray(inp["seg"]),
-            jnp.asarray(inp["depth"]) if "depth" in inp else None,
-            jnp.asarray(inp["depth_mask"]) if "depth_mask" in inp else None,
+        seg = jnp.asarray(inp["seg"])
+        depth = jnp.asarray(inp["depth"]) if "depth" in inp else None
+        dmask = (
+            jnp.asarray(inp["depth_mask"]) if "depth_mask" in inp else None
         )
         kwargs = dict(
             train=train,
@@ -135,6 +166,22 @@ class BGModel(TaskModel):
             return_orig_size=return_orig_size,
         )
         module = self._module_for(variables)
+        if self._stem_kernel_on(module, seg, depth, train):
+            from ..kernels.stem import onehot_stem_conv
+
+            dep = None
+            if self.use_depth_inps:
+                dep = (depth - self.depth_mean) / self.depth_std
+                if dmask is not None:
+                    dep = dep * dmask.astype(dep.dtype)
+            p0 = variables["params"]["base_0"]["conv"]
+            y0 = onehot_stem_conv(
+                seg, dep, p0["kernel"], p0["bias"],
+                num_classes=self.num_classes,
+                interpret=self._stem_interpret,
+            )
+            return self._folded_nostem_module.apply(variables, y0, **kwargs)
+        x = self._assemble(seg, depth, dmask)
         if mutable:
             return module.apply(
                 variables, x, **kwargs, mutable=["batch_stats"]

@@ -276,20 +276,28 @@ class HarDNet(nn.Module):
     # materializes a second full-res copy); default off, kept as a
     # documented experiment switch.
     stem_s2d: bool = False
+    # Serving path: the input is already the base_0 output, produced by
+    # the fused one-hot Pallas stem (kernels/stem.py) — base_0 is skipped
+    # (its params in the variables dict are simply unused).
+    skip_stem0: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False,
                  final_size: Optional[Tuple[int, int]] = None,
                  return_orig_size: bool = False):
-        size_in = (x.shape[-3], x.shape[-2])
+        if self.skip_stem0:
+            size_in = (x.shape[-3] * 2, x.shape[-2] * 2)
+        else:
+            size_in = (x.shape[-3], x.shape[-2])
         blks = len(self.n_layers)
 
         # Stem (hardnet.py:274-280); base indices mirror the torch ModuleList
         # so the weight importer maps by position.
         x = x.astype(self.dtype)
-        x = ConvLayer(self.first_ch[0], kernel=3, stride=2, dtype=self.dtype,
-                      folded=self.folded, s2d=self.stem_s2d,
-                      name="base_0")(x, train)
+        if not self.skip_stem0:
+            x = ConvLayer(self.first_ch[0], kernel=3, stride=2,
+                          dtype=self.dtype, folded=self.folded,
+                          s2d=self.stem_s2d, name="base_0")(x, train)
         x = ConvLayer(self.first_ch[1], kernel=3, dtype=self.dtype,
                       folded=self.folded, name="base_1")(x, train)
         x = ConvLayer(self.first_ch[2], kernel=3, stride=2, dtype=self.dtype,
