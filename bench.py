@@ -209,8 +209,9 @@ def measure_tpu_stages(k: int = K) -> dict:
         y0 = onehot_stem_conv(
             seg, dn, p0["kernel"], p0["bias"], num_classes=11
         )
-        logits = net_f.apply(bg_vars_f, y0)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # return_argmax: CHW resize + in-graph argmax skips the
+        # lane-padded (B, H, W, 11) full-res logits (~1 GB).
+        return net_f.apply(bg_vars_f, y0, return_argmax=True)
 
     results["bg_ms"] = _timed(scan_loop(bg_step), (x_bg,), k) * 1e3
 

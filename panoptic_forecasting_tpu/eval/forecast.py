@@ -112,8 +112,10 @@ def build_forecast_step(bg_model, fg_model, *, height: int, width: int,
                 "depth_mask": rep_depth > 0,
             }
         }
-        logits = bg_model.forward(bg_vars, bg_batch)
-        bg_seg = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # return_argmax resizes the logits in CHW and reduces in-graph —
+        # the (B, H, W, C) full-res logits would lane-pad C -> 128
+        # (~1 GB of HBM traffic at 1024x2048 per forecast).
+        bg_seg = bg_model.forward(bg_vars, bg_batch, return_argmax=True)
         # Combined z-buffer depth over the input frames; empty -> 1e9 so
         # instances always paint there (fusion strict-< rule).
         dvalid = rep_depth > 0

@@ -153,7 +153,7 @@ class BGModel(TaskModel):
         return self.stem_kernel == "interpret"
 
     def forward(self, variables, batch, train=False, return_orig_size=False,
-                mutable=False):
+                mutable=False, return_argmax=False):
         inp = batch["inputs"]
         seg = jnp.asarray(inp["seg"])
         depth = jnp.asarray(inp["depth"]) if "depth" in inp else None
@@ -164,6 +164,7 @@ class BGModel(TaskModel):
             train=train,
             final_size=self.final_size,
             return_orig_size=return_orig_size,
+            return_argmax=return_argmax,
         )
         module = self._module_for(variables)
         if self._stem_kernel_on(module, seg, depth, train):

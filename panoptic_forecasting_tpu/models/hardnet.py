@@ -105,6 +105,26 @@ def resize_bilinear_align_corners(x: jnp.ndarray, size: Tuple[int, int]):
     return x
 
 
+def resize_bilinear_hw(x: jnp.ndarray, size: Tuple[int, int]):
+    """Same align_corners resize on channels-leading (..., H, W) arrays.
+
+    At full Cityscapes resolution a (B, H, W, 11) logits tensor lane-pads
+    11 -> 128 (~1 GB of hidden traffic); with channels as leading pages
+    and W on lanes the arrays are exact-sized. Numerics are identical
+    (same interp matrices, per-channel separable matmuls)."""
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    h_out, w_out = size
+    if (h_in, w_in) == (h_out, w_out):
+        return x
+    if h_out != h_in:
+        rh = _interp_matrix(h_in, h_out, x.dtype)
+        x = jnp.einsum("oh,...hw->...ow", rh, x)
+    if w_out != w_in:
+        rw = _interp_matrix(w_in, w_out, x.dtype)
+        x = jnp.einsum("ow,...hw->...ho", rw, x)
+    return x
+
+
 def _space_to_depth_conv(x, w, bias, dtype):
     """3×3 stride-2 conv evaluated as a 2×2 conv over 2×2-packed input.
 
@@ -284,7 +304,8 @@ class HarDNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False,
                  final_size: Optional[Tuple[int, int]] = None,
-                 return_orig_size: bool = False):
+                 return_orig_size: bool = False,
+                 return_argmax: bool = False):
         if self.skip_stem0:
             size_in = (x.shape[-3] * 2, x.shape[-2] * 2)
         else:
@@ -353,6 +374,15 @@ class HarDNet(nn.Module):
             self.n_classes, (1, 1), use_bias=True, dtype=self.dtype,
             name="finalConv"
         )(x)
+        if return_argmax:
+            # Serving fast path: the full-res (B, H, W, C) logits would
+            # lane-pad C -> 128 (~1 GB at 1024x2048). Resize in CHW
+            # (exact-sized) and reduce the argmax over the leading axis;
+            # numerics — and hence tie behavior — are identical.
+            assert not return_orig_size
+            chw = jnp.moveaxis(logits.astype(jnp.float32), -1, -3)
+            up = resize_bilinear_hw(chw, final_size or size_in)
+            return jnp.argmax(up, axis=-3).astype(jnp.int32)
         out = resize_bilinear_align_corners(
             logits.astype(jnp.float32), final_size or size_in
         )

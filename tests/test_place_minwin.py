@@ -124,8 +124,8 @@ def test_minwin_pile_classification_multi_plane():
     rng = np.random.RandomState(6)
     plane, pile_w, nplanes = 4096, 128, 3
     g = plane * nplanes
-    n = 16384
-    per = n // nplanes
+    per = 16384 // nplanes
+    n = per * nplanes
     parts = []
     for p in range(nplanes):
         base = np.linspace(pile_w, plane - pile_w - 40, per).astype(

@@ -133,3 +133,35 @@ def test_stem_kernel_matches_bg_assemble_plus_conv():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), atol=1e-5
     )
+
+
+def test_bgmodel_return_argmax_parity():
+    """forward(return_argmax=True) (CHW resize + in-graph argmax) equals
+    argmax of the logits path — same interp matrices, same f32 numerics,
+    same tie behavior."""
+    import jax
+    from panoptic_forecasting_tpu.models.bg import BGModel
+
+    rng = np.random.RandomState(9)
+    base = {
+        "data": {"num_classes": 11},
+        "model": {"num_inputs": 3, "use_depth_inps": True,
+                  "convert2onehot": True, "hardnet": {}},
+    }
+    batch = {
+        "inputs": {
+            "seg": rng.randint(0, 14, (1, 3, 64, 128)).astype(np.int32),
+            "depth": (rng.rand(1, 3, 64, 128) * 60).astype(np.float32),
+            "depth_mask": (rng.rand(1, 3, 64, 128) > 0.2),
+        }
+    }
+    model = BGModel(base)
+    variables = model.init(jax.random.PRNGKey(1), batch)
+    folded = model.maybe_fold(variables)
+    logits = model.forward(folded, batch)
+    seg_ref = np.argmax(np.asarray(logits), axis=-1)
+    seg_fast = np.asarray(
+        model.forward(folded, batch, return_argmax=True)
+    )
+    assert seg_fast.dtype == np.int32
+    np.testing.assert_array_equal(seg_fast, seg_ref)
