@@ -58,5 +58,11 @@ def main(argv=None) -> dict:
     return results
 
 
+def cli_main(argv=None) -> None:
+    """Console-script wrapper: ``main`` returns the results dict (useful
+    in-process), which would read as a nonzero exit status here."""
+    main(argv)
+
+
 if __name__ == "__main__":
     main(sys.argv[1:])

@@ -744,6 +744,255 @@ def test_fg_loss_golden(ref):
 
 
 # ---------------------------------------------------------------------------
+# Golden GRADIENT parity: d loss / d params vs the reference's own autograd.
+# Every importer transform (transpose / reshape / gate-split / permutation)
+# is linear, so mapping the torch *gradient* state_dict through the same
+# importer yields the gradient in this package's parameter layout — the
+# strongest available check that training dynamics match the reference
+# (odom_model.py:104-115, bg_model.py:73-89, losses.py:14-189).
+# ---------------------------------------------------------------------------
+
+
+def _torch_grad_sd(rmodel, loss):
+    """Backprop ``loss`` and return a state_dict-shaped mapping of grads
+    (zeros for grad-less parameters and for buffers, so the importers see
+    the full key set they expect)."""
+    rmodel.zero_grad(set_to_none=True)
+    # odom/fg losses are per-sample vectors; this package's train scalar is
+    # their mean (models/odom.py:159-161, fg.py:461), so backprop the mean.
+    loss.mean().backward()
+    sd = {}
+    for k, v in rmodel.named_parameters():
+        sd[k] = (v.grad.detach().clone() if v.grad is not None
+                 else torch.zeros_like(v))
+    for k, v in rmodel.named_buffers():
+        sd[k] = torch.zeros_like(v)
+    return sd
+
+
+_GRU_KEYS = {"ir", "iz", "in", "hr", "hz", "hn"}
+
+
+def _fix_gru_bias_grads(tree):
+    """gru_cell_params folds torch's duplicated r/z gate biases as
+    ``b_ih + b_hh`` (torch_import.py:97-101). That map is linear but
+    non-injective: both torch biases add into the same pre-activation, so
+    their gradients are identical and the mapped SUM is 2x the gradient of
+    the folded parameter. Halve ir/iz bias grads to undo it."""
+    if isinstance(tree, dict):
+        if _GRU_KEYS <= set(tree):
+            out = dict(tree)
+            for g in ("ir", "iz"):
+                out[g] = dict(tree[g])
+                out[g]["bias"] = tree[g]["bias"] * 0.5
+            return out
+        return {k: _fix_gru_bias_grads(v) for k, v in tree.items()}
+    return tree
+
+
+def _assert_grad_trees_close(my_grads, ref_grads, rtol=2e-4, atol=1e-6):
+    ref_grads = _fix_gru_bias_grads(ref_grads)
+    my_leaves = jax.tree_util.tree_flatten_with_path(my_grads)[0]
+    ref_flat = {
+        jax.tree_util.keystr(p): np.asarray(v)
+        for p, v in jax.tree_util.tree_flatten_with_path(ref_grads)[0]
+    }
+    assert my_leaves, "empty gradient tree"
+    for path, leaf in my_leaves:
+        key = jax.tree_util.keystr(path)
+        assert key in ref_flat, f"no reference gradient for {key}"
+        np.testing.assert_allclose(
+            np.asarray(leaf), ref_flat[key], rtol=rtol, atol=atol,
+            err_msg=f"gradient diverged at {key}",
+        )
+
+
+def test_odom_grad_golden(ref):
+    torch.manual_seed(0)
+    mean = torch.tensor([1.5, -0.2])
+    std = torch.tensor([2.0, 0.5])
+    params = {
+        "model": {"predict_type": "direct", "normalize_input": True,
+                  "use_normalized_loss": True, "rnn_hidden": 16,
+                  "loss_fn": "mse", "out_layers": []},
+        "data": {"odom_norm_params": (mean, std)},
+    }
+    rmodel = ref.OdomModel(params).eval()
+    rng = np.random.RandomState(11)
+    x = rng.randn(4, 9, 2).astype(np.float32)
+    y = rng.randn(4, 9, 2).astype(np.float32)
+    ref_loss = rmodel.loss(
+        {"odometry": torch.from_numpy(x)},
+        {"odometry": torch.from_numpy(y)},
+    )["loss"]
+
+    from panoptic_forecasting_tpu.data.cards import DataCard
+    from panoptic_forecasting_tpu.models import reference_import as ri
+    from panoptic_forecasting_tpu.models.odom import OdomModel as MyOdom
+
+    ref_grads, _ = ri.odom_from_reference(_torch_grad_sd(rmodel, ref_loss))
+
+    jparams, stats = ri.odom_from_reference(rmodel.state_dict())
+    card = DataCard(task="odom")
+    for name, (m, s) in stats.items():
+        card.set_stats(name, m, s)
+    mine = MyOdom(
+        {"model": {"predict_type": "direct", "rnn_hidden": 16,
+                   "loss_fn": "mse", "normalize_input": True,
+                   "use_normalized_loss": True},
+         "data": {"output_len": 9}},
+        card,
+    )
+    batch = {"inputs": {"odometry": jnp.asarray(x)},
+             "labels": {"odometry": jnp.asarray(y)}}
+    my_grads = jax.grad(lambda p: mine.loss(p, {}, batch, train=False)[0])(
+        jparams
+    )
+    _assert_grad_trees_close(my_grads, ref_grads)
+
+
+def test_bg_grad_golden(ref):
+    """HarDNet conv + BN scale/bias gradients of the CE loss (eval-mode BN
+    on both sides; running stats carry no gradient and are excluded)."""
+    from panoptic_forecasting.models.bg.bg_model import BGModel as RefBG
+
+    torch.manual_seed(0)
+    params = {
+        "model": {"num_inputs": 3, "convert2onehot": True,
+                  "use_depth_inps": True, "hardnet": {}},
+        "data": {"num_classes": 11,
+                 "depth_norm_params": (torch.tensor([12.0]),
+                                       torch.tensor([7.0]))},
+    }
+    rmodel = RefBG(params).eval()
+    with torch.no_grad():
+        for m in rmodel.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+
+    rng = np.random.RandomState(13)
+    b, t, h, w = 2, 3, 64, 128
+    seg = rng.randint(0, 14, size=(b, t, h, w))
+    depth = (rng.rand(b, t, h, w) * 40 + 1).astype(np.float32)
+    dmask = rng.rand(b, t, h, w) > 0.2
+    labels = rng.randint(0, 11, size=(b, h, w))
+    labels[rng.rand(b, h, w) > 0.8] = 255
+
+    ref_res = rmodel.loss(
+        {"seg": torch.from_numpy(seg.copy()),
+         "depth": torch.from_numpy(depth),
+         "depth_mask": torch.from_numpy(dmask.astype(np.float32))},
+        {"seg": torch.from_numpy(labels)},
+    )
+
+    from panoptic_forecasting_tpu.data.cards import DataCard
+    from panoptic_forecasting_tpu.models import reference_import as ri
+    from panoptic_forecasting_tpu.models.base import split_variables
+    from panoptic_forecasting_tpu.models.bg import BGModel as MyBG
+
+    ref_gvars, _ = ri.bg_from_reference(
+        _torch_grad_sd(rmodel, ref_res["loss"])
+    )
+    ref_grads, _ = split_variables(ref_gvars)
+
+    variables, stats = ri.bg_from_reference(rmodel.state_dict())
+    card = DataCard(task="bg", num_classes=11)
+    for name, (m, s) in stats.items():
+        card.set_stats(name, m, s)
+    mine = MyBG(
+        {"model": {"num_inputs": 3, "convert2onehot": True,
+                   "use_depth_inps": True},
+         "data": {"num_classes": 11}},
+        card,
+    )
+    jparams, state = split_variables(
+        jax.tree_util.tree_map(jnp.asarray, variables)
+    )
+    batch = {"inputs": {"seg": jnp.asarray(seg),
+                        "depth": jnp.asarray(depth),
+                        "depth_mask": jnp.asarray(dmask)},
+             "labels": {"seg": jnp.asarray(labels)}}
+    my_grads = jax.grad(
+        lambda p: mine.loss(p, state, batch, train=False)[0]
+    )(jparams)
+    # CE through a 70-layer net: slightly looser than the shallow models.
+    _assert_grad_trees_close(my_grads, ref_grads, rtol=5e-3, atol=2e-5)
+
+
+def test_fg_grad_golden(ref):
+    """Gradients of the combined traj+distill fg loss through the coupled
+    encoder/decoder, ConvLSTMs, and mask head (losses.py:14-189)."""
+    rmodel, _ = _build_ref_fg(ref)
+    rng = np.random.RandomState(17)
+    n, t_in, t_out = 4, 3, 3
+    d = _fg_inputs(n, rng, t_in, t_out)
+    feat_masks = (rng.rand(n, t_in + t_out) > 0.2)
+    feat_masks[:, 0] = True
+    lab_feats = rng.randn(n, t_out, 256, 14, 14).astype(np.float32)
+    lab_depths = (rng.rand(n, t_out, 2).astype(np.float32) * 30 + 1)
+    lab_dmask = (rng.rand(n, t_out, 1) > 0.2)
+
+    t = torch.from_numpy
+    ref_inputs = {
+        "trajectories": t(d["trajectories"][:, :t_in]),
+        "bbox_masks": t(d["bbox_masks"].astype(np.float32)),
+        "bbox_vel_masks": t(d["bbox_vel_masks"].astype(np.float32)),
+        "depths": t(d["depths"]),
+        "depth_masks": t(d["depth_masks"].astype(np.float32)),
+        "feats": t(d["feats"]),
+        "feat_masks": t(feat_masks.astype(np.float32)),
+        "odometry": t(d["odom"]),
+        "classes": t(d["classes"]),
+    }
+    ref_labels = {
+        "trajectories": t(d["trajectories"][:, t_in:]),
+        "depths": t(lab_depths),
+        "depth_masks": t(lab_dmask.astype(np.float32)),
+        "feats": t(lab_feats),
+        "output_inds": t(d["output_inds"]),
+    }
+    ref_res = rmodel.loss(ref_inputs, ref_labels)
+
+    from panoptic_forecasting_tpu.models import reference_import as ri
+    from panoptic_forecasting_tpu.models.base import split_variables
+
+    ref_grads, _ = ri.fg_from_reference(
+        _torch_grad_sd(rmodel, ref_res["loss"]),
+        instance_feat_channels=8, feat_hw=14,
+    )
+
+    mine, variables = _my_fg(rmodel)
+    jparams, state = split_variables(variables)
+    batch = {
+        "inputs": {
+            "trajectories": d["trajectories"][:, :t_in],
+            "bbox_masks": d["bbox_masks"],
+            "bbox_vel_masks": d["bbox_vel_masks"],
+            "depths": d["depths"],
+            "depth_masks": d["depth_masks"],
+            "feats": d["feats"],
+            "feat_masks": feat_masks,
+            "odometry": d["odom"],
+            "classes": d["classes"],
+        },
+        "labels": {
+            "trajectories": d["trajectories"][:, t_in:],
+            "depths": lab_depths,
+            "depth_masks": lab_dmask,
+            "feats": lab_feats,
+            "output_inds": d["output_inds"],
+        },
+    }
+    my_grads = jax.grad(
+        lambda p: mine.loss(p, state, batch, train=False)[0]
+    )(jparams)
+    # atol covers float-noise on near-zero elements of O(100) gradients
+    # flowing through the unrolled coupled scan (measured max 2.3e-5).
+    _assert_grad_trees_close(my_grads, ref_grads, rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
 # Data transforms: pad/crop/flip geometry vs the reference's own transforms
 # ---------------------------------------------------------------------------
 
