@@ -1,7 +1,10 @@
 """Benchmark: end-to-end panoptic forecast throughput on the attached TPU.
 
-Prints ONE JSON line whose headline is ``e2e_forecast_fps`` — the full
-Cityscapes-scale forecast path for one target frame:
+Prints a sequence of flushed JSON lines, each a COMPLETE headline record
+(``e2e_forecast_fps``) enriched as measurements land — the LAST line is
+the result, and a driver kill at any point leaves the latest complete
+record standing. The headline is the full Cityscapes-scale forecast path
+for one target frame:
 
   1. pc     — 3x1024x2048 backproject -> ego transform -> z-buffer splat
               (Pallas placement kernel; reference hot path
@@ -27,6 +30,7 @@ does not synchronize through the axon tunnel).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -55,8 +59,19 @@ def _timed(fn, args, k):
     return best
 
 
+def _emit_stage(name: str, ms: float) -> None:
+    """Stream a per-stage result line so the parent can salvage partial
+    measurements if this subprocess is killed at its deadline."""
+    print(json.dumps({"stage": name, "ms": round(ms, 3)}), flush=True)
+
+
 def measure_tpu_stages(k: int = K) -> dict:
-    """Per-stage best-of milliseconds on the attached accelerator."""
+    """Per-stage best-of milliseconds on the attached accelerator.
+
+    Stages run in chain-priority order (per-frame pc -> bg -> fg ->
+    fusion -> combined-canvas pc) and each result is printed+flushed as
+    it lands, so a timeout partway through still yields the staged
+    chain."""
     import jax
 
     # Persistent compile cache: repeat bench runs skip the ~2-4 min of
@@ -123,8 +138,6 @@ def measure_tpu_stages(k: int = K) -> dict:
             valid.reshape(-1), height=H, width=W, sort_runs=T_IN,
         )
 
-    results["pc_ms"] = _timed(scan_loop(pc_forecast), (depth,), k) * 1e3
-
     # The staged CHAIN cost: the bg model consumes THREE per-frame
     # reprojections (the reference's ind0/1/2 exports feed
     # configs/bg/bg_train.yaml), so the honest staged pipeline builds 3
@@ -155,6 +168,7 @@ def measure_tpu_stages(k: int = K) -> dict:
     results["pc_stage_ms"] = (
         _timed(scan_loop(pc_forecast_perframe), (depth,), k) * 1e3
     )
+    _emit_stage("pc_stage_ms", results["pc_stage_ms"])
 
     # ---- 2. bg ----
     net = HarDNet(n_classes=11)
@@ -214,6 +228,7 @@ def measure_tpu_stages(k: int = K) -> dict:
         return net_f.apply(bg_vars_f, y0, return_argmax=True)
 
     results["bg_ms"] = _timed(scan_loop(bg_step), (x_bg,), k) * 1e3
+    _emit_stage("bg_ms", results["bg_ms"])
 
     # ---- 3. fg ----
     core = FGCore(rnn_hidden=128)
@@ -231,6 +246,7 @@ def measure_tpu_stages(k: int = K) -> dict:
         ),
         (enc_inp,), k,
     ) * 1e3
+    _emit_stage("fg_ms", results["fg_ms"])
 
     # ---- 4. fusion ----
     masks = jnp.asarray(rng.rand(N_INST, 28, 28).astype(np.float32))
@@ -249,6 +265,13 @@ def measure_tpu_stages(k: int = K) -> dict:
         return seg_out, dep_out
 
     results["fusion_ms"] = _timed(scan_loop(fuse), (masks,), k) * 1e3
+    _emit_stage("fusion_ms", results["fusion_ms"])
+
+    # Combined-canvas pc (the reference model's no-ind predict,
+    # pc_transform_model.py:33-150): a separate model benchmark, measured
+    # last because the staged chain above does not consume it.
+    results["pc_ms"] = _timed(scan_loop(pc_forecast), (depth,), k) * 1e3
+    _emit_stage("pc_ms", results["pc_ms"])
 
     # Staged chain = per-frame pc canvases (what bg consumes) + bg + fg
     # + fusion; the combined-canvas pc_ms is a separate model benchmark.
@@ -657,42 +680,71 @@ def _measure_reference_cpu() -> dict:
     return results
 
 
-def _run_tpu_subprocess(mode: str, timeout: int = 300, retries: int = 1):
+# Driver-verified round-2 measurement of the reference's own code on this
+# host's CPU (BENCH_r02.json, committed). The baseline does not change
+# round-to-round; a live re-measure only runs when wall-clock budget
+# remains, otherwise these stand in (labeled as cached).
+_CACHED_BASELINE = {
+    "e2e_fps": 0.1986,
+    "pc_ms": 1632.0, "bg_ms": 1811.8, "fg_ms": 1409.5, "fusion_ms": 181.3,
+}
+_BASELINE_DESC = (
+    "reference's own code (/root/reference) on this host's CPU, same "
+    "stages/shapes; torch_scatter CUDA z-buffer replaced by an equivalent "
+    "NumPy scatter-min"
+)
+
+# Global wall-clock budget. The round-3 bench was killed by the driver
+# with ZERO output (BENCH_r03.json rc=124) because its worst case was
+# ~75 min of silence. Everything below subtracts elapsed time from every
+# later phase and prints+flushes a complete headline record after each
+# phase, so whenever the run is killed the last complete line stands.
+BUDGET_S = float(os.environ.get("PF_BENCH_BUDGET_S", "660"))
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def _run_tpu_subprocess(mode: str, timeout: float, retries: int = 0):
     """Run a TPU measurement in a subprocess with a timeout.
 
     The tunneled attachment occasionally hangs a fresh process's first
     device call (especially right after another TPU process exited); a
-    subprocess + timeout + cooldown-retry keeps one stall from taking the
-    whole benchmark down. Returns the subprocess's last stdout line, or
-    None.
+    subprocess + timeout keeps one stall from taking the whole benchmark
+    down. Returns ALL stdout lines produced (even on timeout/nonzero
+    exit, so streamed per-stage records survive a deadline kill), or [].
     """
     import subprocess
 
+    out: list[str] = []
     for attempt in range(retries + 1):
         try:
             r = subprocess.run(
                 [sys.executable, __file__, mode],
-                capture_output=True, text=True, timeout=timeout,
+                capture_output=True, text=True, timeout=max(10, timeout),
             )
-            lines = r.stdout.strip().splitlines()
-            if r.returncode == 0 and lines:
-                return lines[-1]
-        except subprocess.TimeoutExpired:
-            pass
-        time.sleep(15)  # let the chip/tunnel settle before retrying
-    return None
+            out = (r.stdout or "").strip().splitlines()
+            if r.returncode == 0 and out:
+                return out
+        except subprocess.TimeoutExpired as exc:
+            stdout = exc.stdout
+            if isinstance(stdout, bytes):
+                stdout = stdout.decode("utf-8", "replace")
+            out = (stdout or "").strip().splitlines()
+        if attempt < retries:
+            time.sleep(15)  # let the chip/tunnel settle before retrying
+    return out
 
 
-def _tpu_reachable(patience_s: int = 720, timeout: int = 90) -> bool:
+def _tpu_reachable(patience_s: float = 240, timeout: int = 60) -> bool:
     """Pre-flight: can a fresh process complete one device op?
 
     When the tunnel is down, every measurement subprocess burns its full
-    timeout (stages+fused with retries ≈ 50 min of hanging). Tunnel
-    outages are usually transient (docs/perf_notes.md, extended-outage
-    notes), so instead of two quick probes this waits out a blip: short
-    90 s probes every ~30 s until one succeeds or ``patience_s`` elapses.
-    Down-the-whole-time still bounds the run to ~12 min; a mid-outage
-    recovery salvages the measurement that round.
+    timeout. Tunnel outages are usually transient (docs/perf_notes.md,
+    extended-outage notes), so short probes repeat every ~20 s until one
+    succeeds or ``patience_s`` elapses.
     """
     import subprocess
 
@@ -711,92 +763,124 @@ def _tpu_reachable(patience_s: int = 720, timeout: int = 90) -> bool:
             pass
         if time.monotonic() >= deadline:
             return False
-        time.sleep(30)
+        time.sleep(20)
+
+
+def _emit(record: dict) -> None:
+    print(json.dumps(record), flush=True)
+
+
+def _build_record(stages: dict, fused: dict, train: dict,
+                  base: dict, base_desc: str, note: str = "") -> dict:
+    chain = ("pc_stage_ms", "bg_ms", "fg_ms", "fusion_ms")
+    record = {
+        "metric": "e2e_forecast_fps",
+        "value": -1.0,
+        "unit": "frames/sec (pc+bg+fg+fusion panoptic forecast, 1024x2048)",
+        "stages_ms": {k2: round(v, 3) for k2, v in stages.items()},
+    }
+    staged_fps = None
+    if all(s in stages for s in chain):
+        staged_fps = 1000.0 / sum(stages[s] for s in chain)
+        record["staged_fps"] = round(staged_fps, 3)
+    if fused.get("fused_ms", -1.0) > 0:
+        record["fused_ms"] = round(fused["fused_ms"], 3)
+        record["fused_fps"] = round(1000.0 / fused["fused_ms"], 3)
+    # Headline = the fastest serving path: the single-jit fused forecast
+    # (eval/forecast.py — one XLA program for pc+bg+fg+fusion) when
+    # measured, else the staged chain.
+    best = max(
+        [staged_fps or -1.0, record.get("fused_fps", -1.0)]
+    )
+    if best > 0:
+        record["value"] = round(best, 3)
+    record.update(train)
+    record["vs_baseline"] = (
+        round(best / base["e2e_fps"], 2) if best > 0 else -1.0
+    )
+    record["baseline_fps"] = round(base["e2e_fps"], 4)
+    record["baseline_stages_ms"] = {
+        s: round(base[s], 1)
+        for s in ("pc_ms", "bg_ms", "fg_ms", "fusion_ms")
+    }
+    record["baseline"] = base_desc
+    if note:
+        record["note"] = note
+    return record
+
+
+def _parse_stream(lines: list[str], stages: dict, misc: dict) -> None:
+    """Fold streamed child lines into the stage/misc dicts."""
+    for ln in lines:
+        try:
+            obj = json.loads(ln)
+        except ValueError:
+            continue
+        if not isinstance(obj, dict):
+            continue
+        if "stage" in obj and "ms" in obj:
+            stages[obj["stage"]] = float(obj["ms"])
+        else:  # the child's final full dict, or train-step keys
+            misc.update(obj)
 
 
 def main() -> None:
-    if not _tpu_reachable():
-        print(json.dumps({
-            "metric": "e2e_forecast_fps", "value": -1.0,
-            "unit": "frames/sec",
-            "vs_baseline": -1.0,
-            "error": "TPU attachment unreachable (device-op probes failed "
-                     "for 12 min; tunnel down — see bench.py _tpu_reachable)",
-        }))
-        return
-    # 900 s: covers cold compiles of every stage program (two pc
-    # variants, bg, fg, fusion scan loops) through the tunnel after a
-    # kernel change invalidates the cache; warm-cache repeats ~60 s.
-    line = _run_tpu_subprocess("--stages-only", timeout=900)
-    if line is None:
-        print(json.dumps({
-            "metric": "e2e_forecast_fps", "value": -1.0,
-            "unit": "frames/sec",
-            "vs_baseline": -1.0,
-            "error": "TPU stage measurement timed out twice "
-                     "(tunnel stall; see bench.py _run_tpu_subprocess)",
-        }))
-        return
-    tpu = json.loads(line)
+    stages: dict = {}
+    fused: dict = {}
+    train: dict = {}
+    base = dict(_CACHED_BASELINE)
+    base_desc = _BASELINE_DESC + " (cached from driver-verified BENCH_r02)"
 
-    fused = {"fused_ms": -1.0}
-    # The flagship number: one retry and a budget that covers a cold
-    # compile of the full fused program through the tunnel (~3-4 min);
-    # repeat runs hit the persistent compile cache and finish in ~30 s.
-    fline = _run_tpu_subprocess("--fused-only", timeout=600, retries=1)
-    if fline is not None:
-        fused_ms = float(fline)
-        fused = {
-            "fused_ms": round(fused_ms, 3),
-            "fused_fps": round(1000.0 / fused_ms, 3),
-        }
+    _emit(_build_record(stages, fused, train, base, base_desc,
+                        note="startup — no measurement landed yet"))
 
-    # Headline = the fastest serving path. Since round 3 that is the
-    # single-jit fused forecast (eval/forecast.py, one XLA program for
-    # pc+bg+fg+fusion); the staged per-stage chain is reported alongside
-    # as staged_fps. If the fused measurement failed, fall back to staged.
-    best_fps = tpu["e2e_fps"]
-    if fused.get("fused_ms", -1.0) > 0:
-        best_fps = max(best_fps, fused["fused_fps"])
-    record = {
-        "metric": "e2e_forecast_fps",
-        "value": round(best_fps, 3),
-        "unit": "frames/sec (pc+bg+fg+fusion panoptic forecast, 1024x2048)",
-        "staged_fps": round(tpu["e2e_fps"], 3),
-        "stages_ms": {
-            s: round(tpu[s], 3)
-            for s in (
-                "pc_ms", "pc_stage_ms", "bg_ms", "fg_ms", "fusion_ms"
-            )
-        },
-        **fused,
-    }
-    # Supplementary: production bg TRAINING step throughput (best-effort;
-    # cold compile of fwd+bwd through the tunnel fits in one 600 s budget,
-    # warm-cache repeats ~40 s).
-    tline = _run_tpu_subprocess("--train-only", timeout=600, retries=0)
-    if tline is not None:
+    if not _tpu_reachable(patience_s=min(240.0, _remaining() - 300)):
+        _emit(_build_record(
+            stages, fused, train, base, base_desc,
+            note="TPU attachment unreachable (device-op probes kept "
+                 "failing; tunnel down — see bench.py _tpu_reachable)"))
+        return
+
+    # Stages: streamed per-stage lines survive a deadline kill. Budget
+    # reserves time for one fused attempt + final emits.
+    lines = _run_tpu_subprocess(
+        "--stages-only", timeout=min(_remaining() - 150, 540))
+    misc: dict = {}
+    _parse_stream(lines, stages, misc)
+    _emit(_build_record(stages, fused, train, base, base_desc))
+
+    # The flagship number: the single-jit fused forecast. Cold compile
+    # through the tunnel is ~3-4 min; warm cache ~30 s.
+    if _remaining() > 90:
+        flines = _run_tpu_subprocess(
+            "--fused-only", timeout=min(_remaining() - 40, 420))
+        for ln in reversed(flines):
+            try:
+                fused = {"fused_ms": float(ln)}
+                break
+            except ValueError:
+                continue
+        _emit(_build_record(stages, fused, train, base, base_desc))
+
+    # Supplementary: production bg TRAINING step throughput.
+    if _remaining() > 120:
+        tlines = _run_tpu_subprocess(
+            "--train-only", timeout=min(_remaining() - 40, 360))
+        _parse_stream(tlines, {}, train)
+        train = {k2: v for k2, v in train.items()
+                 if k2.startswith("bg_train")}
+        if train:
+            _emit(_build_record(stages, fused, train, base, base_desc))
+
+    # Live CPU baseline re-measure only with ample budget left; the
+    # cached record above otherwise stands.
+    if _remaining() > 150:
         try:
-            record.update(json.loads(tline))
-        except ValueError:
+            base = measure_reference_cpu()
+            base_desc = _BASELINE_DESC
+            _emit(_build_record(stages, fused, train, base, base_desc))
+        except Exception:  # pragma: no cover — cached baseline stands
             pass
-    try:
-        base = measure_reference_cpu()
-        record["vs_baseline"] = round(best_fps / base["e2e_fps"], 2)
-        record["baseline_fps"] = round(base["e2e_fps"], 4)
-        record["baseline_stages_ms"] = {
-            s: round(base[s], 1)
-            for s in ("pc_ms", "bg_ms", "fg_ms", "fusion_ms")
-        }
-        record["baseline"] = (
-            "reference's own code (/root/reference) on this host's CPU, "
-            "same stages/shapes; torch_scatter CUDA z-buffer replaced by "
-            "an equivalent NumPy scatter-min"
-        )
-    except Exception as exc:  # pragma: no cover
-        record["vs_baseline"] = -1.0
-        record["baseline"] = f"reference CPU baseline failed: {exc!r}"
-    print(json.dumps(record))
 
 
 if __name__ == "__main__":

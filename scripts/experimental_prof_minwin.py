@@ -14,9 +14,8 @@ import jax.numpy as jnp
 
 from bench import K, _timed
 from prof_bg_stem import scan_loop
-from panoptic_forecasting_tpu.kernels.placement import (
-    place_minwin, place_sorted,
-)
+from panoptic_forecasting_tpu.kernels.experimental.minwin import place_minwin
+from panoptic_forecasting_tpu.kernels.placement import place_sorted
 
 print("canary:", float(jnp.ones(8).sum()), flush=True)
 rng = np.random.RandomState(0)

@@ -1,4 +1,4 @@
-"""Sortless min-window placement (kernels/placement.py place_minwin).
+"""Sortless min-window placement (kernels/experimental/minwin.py).
 
 Order never matters (every combine is a min), so these tests feed
 deliberately shuffled streams with duplicates — exactly what the sorted
@@ -8,11 +8,10 @@ v2 kernel could not accept.
 import numpy as np
 import pytest
 
-from panoptic_forecasting_tpu.kernels.placement import (
-    EMPTY,
+from panoptic_forecasting_tpu.kernels.experimental.minwin import (
     place_minwin,
-    place_sorted,
 )
+from panoptic_forecasting_tpu.kernels.placement import EMPTY, place_sorted
 
 
 def _ref(group, key, num_groups):

@@ -798,6 +798,12 @@ def _assert_grad_trees_close(my_grads, ref_grads, rtol=2e-4, atol=1e-6):
         for p, v in jax.tree_util.tree_flatten_with_path(ref_grads)[0]
     }
     assert my_leaves, "empty gradient tree"
+    # Key sets must match BOTH ways: a leaf missing from my_grads (e.g. an
+    # importer change silently dropping a parameter from the flax tree)
+    # must fail, not pass vacuously.
+    my_keys = {jax.tree_util.keystr(p) for p, _ in my_leaves}
+    missing = set(ref_flat) - my_keys
+    assert not missing, f"reference gradients with no flax leaf: {missing}"
     for path, leaf in my_leaves:
         key = jax.tree_util.keystr(path)
         assert key in ref_flat, f"no reference gradient for {key}"
