@@ -1,0 +1,85 @@
+"""pc z-buffer: what would compacting invalid points out of the sort buy?
+
+VERDICT r03 suggested dropping invalid-depth points before sorting.
+Exact parity blocks a naive drop: the reference splats invalid points
+too (clamped coords, label 0, sentinel depth — pc_transform_model.py:
+104-117), so pixels covered ONLY by invalid points must still read
+(0, sentinel); reproducing that needs an OR-splat of the invalid
+sub-stream, which is the same scatter problem the sort exists to avoid.
+This probe quantifies the ceiling anyway: lax.sort cost vs stream
+length, and the cost of a cumsum+gather compaction pass, so the lever's
+value is on record for when real Cityscapes disparity (with its real
+invalid fraction) is available.
+
+    python scripts/prof_pc_compact.py
+"""
+import sys, os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/pf_tpu_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+from bench import K, _timed
+from prof_bg_stem import scan_loop
+
+print("canary:", float(jnp.ones(8).sum()), flush=True)
+rng = np.random.RandomState(0)
+
+N = 2 * 1024 * 2048  # one frame's point stream (pre-4-corner packing)
+
+
+def timed(label, body, args):
+    r = _timed(scan_loop(body), args, K)
+    print(label, round(r * 1e3, 3), flush=True)
+    return r
+
+
+g_full = jnp.asarray(rng.randint(0, 4 * N, N).astype(np.int32))
+k_full = jnp.asarray(rng.randint(0, 1 << 30, N).astype(np.int32))
+
+# a) sort cost vs length (the verdict's "sort 3x2.1M" is ~3x the 2.1M row)
+for frac in (1.0, 0.875, 0.75, 0.625, 0.5):
+    n = int(N * frac) // 512 * 512
+    g = g_full[:n]
+    k = k_full[:n]
+    timed(f"sort_{frac:g}",
+          lambda x, s, k=k: jax.lax.sort((x + s.astype(jnp.int32), k),
+                                         num_keys=2),
+          (g,))
+
+# b) compaction pass: cumsum positions + gather of 2 operands into a
+#    0.75N static buffer (jnp.take, indices from a masked argsort-free
+#    prefix sum; invalid slots gather entry 0 and would self-mask as
+#    sentinel groups downstream).
+valid = jnp.asarray(rng.rand(N) < 0.75)
+M = int(N * 0.8) // 512 * 512
+
+
+def compact(g, s):
+    v = valid
+    pos = jnp.cumsum(v.astype(jnp.int32)) - 1
+    idx = jnp.zeros((M,), jnp.int32)
+    # scatter-free: for each output slot j, the source index is the
+    # position where pos == j among valid entries. Use searchsorted on
+    # the monotone pos array (one binary-search gather pass).
+    idx = jnp.searchsorted(pos, jnp.arange(M, dtype=jnp.int32),
+                           side="left").astype(jnp.int32)
+    gg = jnp.take(g + s.astype(jnp.int32), idx, fill_value=0)
+    kk = jnp.take(k_full, idx, fill_value=0)
+    return gg, kk
+
+
+timed("compact_cumsum_gather", compact, (g_full,))
+
+
+# c) compact + sort at 0.8N vs plain sort at N (end-to-end comparison)
+def compact_sort(g, s):
+    gg, kk = compact(g, s)
+    return jax.lax.sort((gg, kk), num_keys=2)
+
+
+timed("compact_then_sort_0.8", compact_sort, (g_full,))
