@@ -237,8 +237,11 @@ def measure_tpu_stages(k: int = K) -> dict:
         rng.randn(N_INST, T_IN, 14, 14, 256).astype(np.float32)
     )
     odom_out = jnp.asarray(rng.randn(N_INST, T_OUT, 5).astype(np.float32))
-    fg_vars = core.init(jax.random.PRNGKey(0), enc_inp, feats, odom_out,
-                        T_OUT)
+    # jit the init: eager init through the tunneled attachment is one
+    # ~0.5 s HTTP compile round-trip PER op (docs/perf_notes.md).
+    fg_vars = jax.jit(
+        lambda r: core.init(r, enc_inp, feats, odom_out, T_OUT)
+    )(jax.random.PRNGKey(0))
     results["fg_ms"] = _timed(
         scan_loop(
             lambda x, s: core.apply(fg_vars, x + 0.001 * s, feats,
@@ -434,7 +437,10 @@ def measure_train_step(k: int = 10, b: int = 8, t_in: int = 3,
     batch0 = {"inputs": {"seg": seg, "depth": dep, "depth_mask": dmask},
               "labels": {"seg": lab}}
 
-    variables = model.init(jax.random.PRNGKey(0), batch0)
+    # jitted init: eager init through the tunnel pays ~0.5 s per op
+    variables = jax.jit(lambda r: model.init(r, batch0))(
+        jax.random.PRNGKey(0)
+    )
     params, state = split_variables(variables)
     opt = build_optimizer(cfg)
     opt_state = opt.init(params)
@@ -841,26 +847,37 @@ def main() -> None:
                  "failing; tunnel down — see bench.py _tpu_reachable)"))
         return
 
-    # Stages: streamed per-stage lines survive a deadline kill. Budget
-    # reserves time for one fused attempt + final emits.
-    lines = _run_tpu_subprocess(
-        "--stages-only", timeout=min(_remaining() - 150, 540))
+    # Stages: streamed per-stage lines survive a deadline kill, and the
+    # phase runs up to two attempts with SHORT deadlines — a tunnel stall
+    # mid-run (observed: the child hung on its 3rd stage for 8 min on a
+    # warm cache) then costs one short attempt, and the retry reuses the
+    # persistent compile cache for every stage the first attempt finished.
+    chain = ("pc_stage_ms", "bg_ms", "fg_ms", "fusion_ms", "pc_ms")
     misc: dict = {}
-    _parse_stream(lines, stages, misc)
-    _emit(_build_record(stages, fused, train, base, base_desc))
+    for _attempt in range(2):
+        if all(s in stages for s in chain) or _remaining() < 200:
+            break
+        lines = _run_tpu_subprocess(
+            "--stages-only", timeout=min(_remaining() - 150, 360))
+        _parse_stream(lines, stages, misc)
+        _emit(_build_record(stages, fused, train, base, base_desc))
 
     # The flagship number: the single-jit fused forecast. Cold compile
-    # through the tunnel is ~3-4 min; warm cache ~30 s.
-    if _remaining() > 90:
+    # through the tunnel is ~3-4 min; warm cache ~30 s. Two attempts so
+    # one tunnel stall doesn't lose the headline.
+    for _attempt in range(2):
+        if fused or _remaining() < 90:
+            break
         flines = _run_tpu_subprocess(
-            "--fused-only", timeout=min(_remaining() - 40, 420))
+            "--fused-only", timeout=min(_remaining() - 40, 360))
         for ln in reversed(flines):
             try:
                 fused = {"fused_ms": float(ln)}
                 break
             except ValueError:
                 continue
-        _emit(_build_record(stages, fused, train, base, base_desc))
+        if fused:
+            _emit(_build_record(stages, fused, train, base, base_desc))
 
     # Supplementary: production bg TRAINING step throughput.
     if _remaining() > 120:
