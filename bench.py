@@ -481,6 +481,147 @@ def measure_train_step(k: int = 10, b: int = 8, t_in: int = 3,
     }
 
 
+def measure_train_step_odom(k: int = 20, b: int = 32) -> dict:
+    """ms/step of the shipped odom TRAINING step (configs/odom/
+    odom_train.yaml: GRU-128, bs 32, 9-in/9-out, Adam 5e-4, clip-norm 5,
+    normalized MSE). Reference step: training/train.py:196-222 on
+    odom_model.py:104-115."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pf_tpu_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import optax
+
+    from panoptic_forecasting_tpu.models.base import split_variables
+    from panoptic_forecasting_tpu.models.odom import OdomModel
+    from panoptic_forecasting_tpu.train.optim import build_optimizer
+
+    cfg = {
+        "task": "odom",
+        "model": {"predict_type": "direct", "normalize_input": True,
+                  "use_normalized_loss": True, "rnn_hidden": 128,
+                  "loss_fn": "mse"},
+        "data": {"output_len": 9},
+        "training": {"batch_size": b, "use_adam": True, "lr": 5.0e-4,
+                     "clip_grad_norm": 5.0},
+    }
+    model = OdomModel(cfg)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray((rng.rand(b, 9, 2) * 8).astype(np.float32))
+    y = jnp.asarray((rng.rand(b, 9, 2) * 8).astype(np.float32))
+    batch0 = {"inputs": {"odometry": x}, "labels": {"odometry": y}}
+    variables = jax.jit(lambda r: model.init(r, batch0))(
+        jax.random.PRNGKey(0)
+    )
+    params, state = split_variables(variables)
+    opt = build_optimizer(cfg)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def run_k(p, o, salt):
+        def step(carry, i):
+            p, o = carry
+            bt = {"inputs": {"odometry": x + 0.001 * (i + salt)},
+                  "labels": {"odometry": y}}
+
+            def loss_fn(p):
+                loss, _, _ = model.loss(p, state, bt, train=True)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = opt.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
+
+        (p, o), losses = jax.lax.scan(
+            step, (p, o), jnp.arange(k, dtype=jnp.float32)
+        )
+        return losses[-1]
+
+    _ = float(run_k(params, opt_state, np.float32(0)))
+    best = 1e9
+    for i in range(2):
+        t0 = time.perf_counter()
+        _ = float(run_k(params, opt_state, np.float32(i + 1)))
+        best = min(best, (time.perf_counter() - t0) / k)
+    ms = best * 1e3
+    return {
+        "odom_train_step_ms": round(ms, 3),
+        "odom_train_seqs_per_s": round(b * 1000.0 / ms, 2),
+    }
+
+
+def measure_train_step_fg(k: int = 10) -> dict:
+    """ms/step of the shipped fg TRAINING step (configs/fg/fg_train.yaml:
+    bs 32 instance tracks, GRU-128, 2-layer ConvLSTM over 256x14x14
+    feats, traj 0.1 + distill 1.0 losses, Adam 5e-4, clip-norm 5).
+    Batch comes through the real fg_instance pipeline (synthetic fixture)
+    tiled up to batch 32. Reference step: training/train.py:196-222 on
+    fg_model.py:341-386."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pf_tpu_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import optax
+
+    import __graft_entry__ as ge
+    from panoptic_forecasting_tpu.train.optim import build_optimizer
+
+    b = 32
+    cfg, model, params, state, batch = ge._build_fg(
+        batch_size=8, model_overrides={"rnn_hidden": 128}
+    )
+    cfg = dict(cfg, training=dict(cfg["training"], batch_size=b))
+
+    def tile_to_b(x):
+        x = np.asarray(x)
+        reps = (b + x.shape[0] - 1) // x.shape[0]
+        return jnp.asarray(np.tile(x, (reps,) + (1,) * (x.ndim - 1))[:b])
+
+    batch = jax.tree_util.tree_map(tile_to_b, batch)
+    opt = build_optimizer(cfg)
+    opt_state = opt.init(params)
+    # Per-step perturbation: shift trajectories (the cheap-to-vary input)
+    # so nothing hoists out of the scan.
+    base_tr = batch["inputs"]["trajectories"]
+
+    @jax.jit
+    def run_k(p, o, salt):
+        def step(carry, i):
+            p, o = carry
+            bt = {
+                "inputs": dict(batch["inputs"],
+                               trajectories=base_tr + 0.01 * (i + salt)),
+                "labels": batch["labels"],
+            }
+
+            def loss_fn(p):
+                loss, _, _ = model.loss(p, state, bt, train=True)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o = opt.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), loss
+
+        (p, o), losses = jax.lax.scan(
+            step, (p, o), jnp.arange(k, dtype=jnp.float32)
+        )
+        return losses[-1]
+
+    _ = float(run_k(params, opt_state, np.float32(0)))
+    best = 1e9
+    for i in range(2):
+        t0 = time.perf_counter()
+        _ = float(run_k(params, opt_state, np.float32(i + 1)))
+        best = min(best, (time.perf_counter() - t0) / k)
+    ms = best * 1e3
+    return {
+        "fg_train_step_ms": round(ms, 3),
+        "fg_train_tracks_per_s": round(b * 1000.0 / ms, 2),
+    }
+
+
 def _install_reference_stubs():
     import collections
     import types
@@ -884,8 +1025,7 @@ def main() -> None:
         tlines = _run_tpu_subprocess(
             "--train-only", timeout=min(_remaining() - 40, 360))
         _parse_stream(tlines, {}, train)
-        train = {k2: v for k2, v in train.items()
-                 if k2.startswith("bg_train")}
+        train = {k2: v for k2, v in train.items() if "_train_" in k2}
         if train:
             _emit(_build_record(stages, fused, train, base, base_desc))
 
@@ -904,7 +1044,11 @@ if __name__ == "__main__":
     if "--fused-only" in sys.argv:
         print(measure_fused())
     elif "--train-only" in sys.argv:
-        print(json.dumps(measure_train_step()))
+        # One line per model, flushed in priority order, so a deadline
+        # kill still salvages everything already printed.
+        print(json.dumps(measure_train_step()), flush=True)
+        print(json.dumps(measure_train_step_odom()), flush=True)
+        print(json.dumps(measure_train_step_fg()), flush=True)
     elif "--stages-only" in sys.argv:
         print(json.dumps(measure_tpu_stages()))
     else:

@@ -42,7 +42,10 @@ sorted stream):
     the fast path contains none.
 
 Empirically on v5e at 6.3M points: ~40 ms XLA scatter -> ~7 ms (v1) ->
-see docs/perf_notes.md for v2; bit-identical throughout.
+see docs/perf_notes.md for v2; bit-identical throughout. Round 4: the
+window-offset packing widened 9 -> 10 bits, enabling sw=131072 doubled
+supertiles (fewer chunks + fewer block-boundary revisits): 9.33 -> 8.68
+ms on the per-frame 12-plane stream, bit-identical (prof_place_sweep).
 """
 
 from __future__ import annotations
@@ -115,11 +118,11 @@ def _kernel(tid_ref, blk_ref, fst_ref, sflag_ref, win_ref, g_ref, k_ref,
 
     def subinfo(i):
         # Two sub-chunks pack into one SMEM word (16 bits each:
-        # LANE-aligned window offset in 9 bits + slow flag in bit 9) —
+        # LANE-aligned window offset in 10 bits + slow flag in bit 10) —
         # halves the scalar-prefetch footprint, which is what bounds the
         # batched-serving canvas count (~1 MB SMEM budget).
         v = (win_ref[j * nsub2 + i // 2] >> (16 * (i % 2))) & 0xFFFF
-        return (v & 0x1FF) * LANE, (v >> 9) & 1
+        return (v & 0x3FF) * LANE, (v >> 10) & 1
 
     for i in range(nsub_in):
         w0, _ = subinfo(i)
@@ -192,7 +195,7 @@ def _kernel(tid_ref, blk_ref, fst_ref, sflag_ref, win_ref, g_ref, k_ref,
     ),
 )
 def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
-                 sw: int = 65536, interpret: bool = False, win: int = WIN,
+                 sw: int = 131072, interpret: bool = False, win: int = WIN,
                  sub: int = SUB, runs: int = 1, disjoint: bool = False):
     """Dense per-group min canvas from sorted (group, key) runs.
 
@@ -219,15 +222,16 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
         when the slice widths don't align to ``sw``. Violating the
         promise loses entries — callers must guarantee it.
       block/sw/win/sub: tuning — entries per grid step, supertile width
-        (<= 65536: window offsets pack into 16 bits), fast-window width
-        (multiple of 128), entries per sub-chunk (divides block).
+        (<= 131072: 10-bit LANE-aligned window offsets + slow flag pack
+        into 16 bits per sub-chunk), fast-window width (multiple of
+        128), entries per sub-chunk (divides block).
 
     Returns (num_groups,) int32: per-group min key, EMPTY (int32 max)
     where a group has no entries.
     """
     n = group_s.shape[0]
     assert block % sub == 0 and win % LANE == 0 and sw % LANE == 0
-    assert sw <= 65536 and win <= sw
+    assert sw <= 131072 and win <= sw  # 10-bit LANE-aligned window offsets
     assert n % runs == 0, (n, runs)
     rl = n // runs
     pad_r = (-rl) % block
@@ -320,9 +324,9 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
     fst = (j == row_start[tid]).astype(jnp.int32)
 
     # Per-(chunk, sub-chunk) fast-window offset + slow flag, 16 bits per
-    # sub-chunk (w0 is LANE-aligned: 9 bits; flag: bit 9), two sub-chunks
-    # per SMEM int32 — the scalar-prefetch table is the SMEM budget that
-    # caps the batched canvas count.
+    # sub-chunk (w0 is LANE-aligned: 10 bits; flag: bit 10), two
+    # sub-chunks per SMEM int32 — the scalar-prefetch table is the SMEM
+    # budget that caps the batched canvas count.
     g3 = group_p.reshape(nblocks, nsub_in, sub)
     gf = g3[:, :, 0][blks]  # (maxchunks, nsub_in)
     gl = g3[:, :, sub - 1][blks]
@@ -336,7 +340,7 @@ def place_sorted(group_s, key_s, *, num_groups: int, block: int = 4096,
     # slow path.
     exs = jnp.where(gf - base_j >= sw, 0, exs)
     assert nsub_in % 2 == 0, "block must hold an even number of sub-chunks"
-    v16 = (w0s // LANE) | (jnp.minimum(exs, 1) << 9)  # (maxchunks, nsub_in)
+    v16 = (w0s // LANE) | (jnp.minimum(exs, 1) << 10)  # (maxchunks, nsub_in)
     wins = (v16[:, 0::2] | (v16[:, 1::2] << 16)).reshape(-1)
     sflag = (jnp.max(exs, axis=1) > 0).astype(jnp.int32)
 

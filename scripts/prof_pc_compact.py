@@ -24,7 +24,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from bench import K, _timed
-from prof_bg_stem import scan_loop
+from prof_common import scan_loop
 
 print("canary:", float(jnp.ones(8).sum()), flush=True)
 rng = np.random.RandomState(0)

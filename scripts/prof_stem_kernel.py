@@ -13,7 +13,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from bench import H, W, K, _timed
-from prof_bg_stem import scan_loop
+from prof_common import scan_loop
 from panoptic_forecasting_tpu.kernels.stem import (
     onehot_stem_conv, stem_reference,
 )

@@ -4,7 +4,7 @@ import numpy as np, jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/pf_tpu_bench_cache")
 import jax.numpy as jnp
 from bench import K, _timed
-from prof_bg_stem import scan_loop
+from prof_common import scan_loop
 print("canary:", float(jnp.ones(8).sum()), flush=True)
 rng = np.random.RandomState(0)
 x = jnp.asarray(rng.rand(16, 512, 2048).astype(np.float32))
