@@ -846,7 +846,10 @@ _BASELINE_DESC = (
 # ~75 min of silence. Everything below subtracts elapsed time from every
 # later phase and prints+flushes a complete headline record after each
 # phase, so whenever the run is killed the last complete line stands.
-BUDGET_S = float(os.environ.get("PF_BENCH_BUDGET_S", "660"))
+# 840 s: the round-2 bench ran >=10 min to rc=0, so the driver tolerates
+# at least that; staying near it keeps a clean exit likely while the
+# flushed per-phase records cover a harsher deadline.
+BUDGET_S = float(os.environ.get("PF_BENCH_BUDGET_S", "840"))
 _T0 = time.monotonic()
 
 
@@ -981,12 +984,22 @@ def main() -> None:
     _emit(_build_record(stages, fused, train, base, base_desc,
                         note="startup — no measurement landed yet"))
 
-    if not _tpu_reachable(patience_s=min(240.0, _remaining() - 300)):
+    # Probe until the tunnel answers or only a minimal warm-cache stages
+    # attempt would still fit (~270 s reserve: observed warm-cache stages
+    # ~90-150 s + emits). Outages are often transient (docs/perf_notes.md)
+    # and giving up early wastes budget that costs nothing to spend
+    # waiting — a late recovery can still land the headline.
+    if not _tpu_reachable(patience_s=min(90.0, _remaining() - 270)):
         _emit(_build_record(
             stages, fused, train, base, base_desc,
-            note="TPU attachment unreachable (device-op probes kept "
-                 "failing; tunnel down — see bench.py _tpu_reachable)"))
-        return
+            note="TPU attachment not answering; continuing to probe "
+                 "while budget lasts — see bench.py _tpu_reachable"))
+        if not _tpu_reachable(patience_s=_remaining() - 270):
+            _emit(_build_record(
+                stages, fused, train, base, base_desc,
+                note="TPU attachment unreachable for the whole budget "
+                     "(device-op probes kept failing; tunnel down)"))
+            return
 
     # Stages: streamed per-stage lines survive a deadline kill, and the
     # phase runs up to two attempts with SHORT deadlines — a tunnel stall

@@ -98,6 +98,34 @@ def test_place_sorted_matches_scatter_min():
         np.testing.assert_array_equal(out, ref)
 
 
+def test_place_sorted_wide_supertile_10bit_offsets():
+    """sw=131072 supertiles (round 4): window offsets beyond 9 bits —
+    w0 // LANE up to 1021 — must round-trip the 10-bit SMEM packing.
+    Sparse entries spread across the full doubled supertile width force
+    large offsets and slow-path windows."""
+    from panoptic_forecasting_tpu.kernels.placement import place_sorted
+
+    rng = np.random.RandomState(11)
+    num_groups = 262144  # two sw=131072 supertiles
+    n = 1024
+    g = rng.randint(0, num_groups, n).astype(np.int32)
+    # Pin entries near the far end of each supertile: offsets > 511 lanes.
+    g[:64] = 131072 - 1 - rng.randint(0, 300, 64)
+    g[64:128] = 262144 - 1 - rng.randint(0, 300, 64)
+    k = rng.randint(1, 2**30, n).astype(np.int32)
+    order = np.lexsort((k, g))
+    g, k = g[order], k[order]
+    out = np.asarray(
+        place_sorted(
+            jnp.asarray(g), jnp.asarray(k), num_groups=num_groups,
+            interpret=True, block=512, sw=131072,
+        )
+    )
+    ref = np.full(num_groups, 0x7FFFFFFF, np.int32)
+    np.minimum.at(ref, g, k)
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_zbuffer_packed_matches_sort_on_dense_scene():
     """Full-coverage synthetic projection: packed == sort except depth lsbs."""
     rng = np.random.RandomState(7)
