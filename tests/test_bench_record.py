@@ -1,0 +1,85 @@
+"""Unit tests for bench.py's record building / stream salvage logic.
+
+BENCH_r0N is the driver's scoreboard; the logic that folds streamed
+per-stage lines into a headline record (and keeps emitting complete
+records as phases land) must not regress. Pure host-side — no TPU, no
+jax import (bench.py defers jax imports into the measure functions).
+"""
+import json
+
+import bench
+
+
+BASE = dict(bench._CACHED_BASELINE)
+
+
+def _record(stages=None, fused=None, train=None, note=""):
+    return bench._build_record(
+        stages or {}, fused or {}, train or {}, BASE, "desc", note=note
+    )
+
+
+def test_empty_record_is_complete_and_unscored():
+    r = _record(note="startup")
+    assert r["metric"] == "e2e_forecast_fps"
+    assert r["value"] == -1.0
+    assert r["vs_baseline"] == -1.0
+    assert r["note"] == "startup"
+    json.dumps(r)  # must be emittable
+
+
+def test_staged_only_scores_staged_chain():
+    stages = {"pc_stage_ms": 22.0, "bg_ms": 10.0, "fg_ms": 2.5,
+              "fusion_ms": 1.5, "pc_ms": 21.0}
+    r = _record(stages=stages)
+    assert r["staged_fps"] == round(1000.0 / 36.0, 3)
+    assert r["value"] == r["staged_fps"]
+    # combined-canvas pc_ms is reported but NOT part of the staged chain
+    assert r["stages_ms"]["pc_ms"] == 21.0
+    assert r["vs_baseline"] == round(r["value"] / BASE["e2e_fps"], 2)
+
+
+def test_fused_beats_staged_for_headline():
+    stages = {"pc_stage_ms": 22.0, "bg_ms": 10.0, "fg_ms": 2.5,
+              "fusion_ms": 1.5}
+    r = _record(stages=stages, fused={"fused_ms": 29.0})
+    assert r["fused_fps"] == round(1000.0 / 29.0, 3)
+    assert r["value"] == max(r["fused_fps"], r["staged_fps"])
+
+
+def test_partial_stages_do_not_score():
+    r = _record(stages={"pc_stage_ms": 22.0, "bg_ms": 10.0})
+    assert "staged_fps" not in r
+    assert r["value"] == -1.0
+
+
+def test_train_keys_ride_along():
+    r = _record(train={"bg_train_step_ms": 160.0,
+                       "odom_train_step_ms": 1.4})
+    assert r["bg_train_step_ms"] == 160.0
+    assert r["odom_train_step_ms"] == 1.4
+
+
+def test_parse_stream_salvages_stage_lines_and_dicts():
+    stages, misc = {}, {}
+    lines = [
+        "garbage not json",
+        json.dumps({"stage": "pc_stage_ms", "ms": 22.1}),
+        json.dumps({"stage": "bg_ms", "ms": 9.9}),
+        json.dumps({"bg_train_step_ms": 159.9, "bg_train_imgs_per_s": 50.0}),
+        "1724",  # a bare number line (fused child output) is not a dict
+    ]
+    bench._parse_stream(lines, stages, misc)
+    assert stages == {"pc_stage_ms": 22.1, "bg_ms": 9.9}
+    assert misc["bg_train_step_ms"] == 159.9
+
+
+def test_parse_stream_last_value_wins_on_retry():
+    stages, misc = {}, {}
+    bench._parse_stream(
+        [json.dumps({"stage": "pc_stage_ms", "ms": 30.0})], stages, misc
+    )
+    bench._parse_stream(
+        [json.dumps({"stage": "pc_stage_ms", "ms": 22.0})], stages, misc
+    )
+    assert stages["pc_stage_ms"] == 22.0
