@@ -1001,37 +1001,52 @@ def main() -> None:
                      "(device-op probes kept failing; tunnel down)"))
             return
 
-    # Stages: streamed per-stage lines survive a deadline kill, and the
-    # phase runs up to two attempts with SHORT deadlines — a tunnel stall
-    # mid-run (observed: the child hung on its 3rd stage for 8 min on a
-    # warm cache) then costs one short attempt, and the retry reuses the
-    # persistent compile cache for every stage the first attempt finished.
-    chain = ("pc_stage_ms", "bg_ms", "fg_ms", "fusion_ms", "pc_ms")
-    misc: dict = {}
-    for _attempt in range(2):
-        if all(s in stages for s in chain) or _remaining() < 200:
-            break
-        lines = _run_tpu_subprocess(
-            "--stages-only", timeout=min(_remaining() - 150, 360))
-        _parse_stream(lines, stages, misc)
-        _emit(_build_record(stages, fused, train, base, base_desc))
-
-    # The flagship number: the single-jit fused forecast. Cold compile
-    # through the tunnel is ~3-4 min; warm cache ~30 s. Two attempts so
-    # one tunnel stall doesn't lose the headline.
-    for _attempt in range(2):
-        if fused or _remaining() < 90:
-            break
-        flines = _run_tpu_subprocess(
-            "--fused-only", timeout=min(_remaining() - 40, 360))
-        for ln in reversed(flines):
-            try:
-                fused = {"fused_ms": float(ln)}
+    def run_stages():
+        # Streamed per-stage lines survive a deadline kill, and the phase
+        # runs up to two attempts with SHORT deadlines — a tunnel stall
+        # mid-run (observed: the child hung on its 3rd stage for 8 min on
+        # a warm cache) then costs one short attempt, and the retry reuses
+        # the persistent compile cache for every stage the first attempt
+        # finished.
+        chain = ("pc_stage_ms", "bg_ms", "fg_ms", "fusion_ms", "pc_ms")
+        misc: dict = {}
+        for _attempt in range(2):
+            if all(s in stages for s in chain) or _remaining() < 200:
                 break
-            except ValueError:
-                continue
-        if fused:
+            lines = _run_tpu_subprocess(
+                "--stages-only", timeout=min(_remaining() - 150, 360))
+            _parse_stream(lines, stages, misc)
             _emit(_build_record(stages, fused, train, base, base_desc))
+
+    def run_fused():
+        # The flagship number: the single-jit fused forecast. Cold compile
+        # through the tunnel is ~3-4 min; warm cache ~30 s. Two attempts
+        # so one tunnel stall doesn't lose the headline.
+        for _attempt in range(2):
+            if fused or _remaining() < 90:
+                break
+            flines = _run_tpu_subprocess(
+                "--fused-only", timeout=min(_remaining() - 40, 360))
+            for ln in reversed(flines):
+                try:
+                    fused["fused_ms"] = float(ln)
+                    break
+                except ValueError:
+                    continue
+            if fused:
+                _emit(_build_record(stages, fused, train, base, base_desc))
+
+    # Phase order is budget-adaptive. Ample budget: stages first (their
+    # streamed lines are the salvage floor), then fused. Squeezed budget
+    # (long outage probing ate it — observed live: 27.8 staged landed but
+    # the faster 34.5 fused never ran): fused FIRST — it is the headline
+    # (value = max(staged, fused)) and costs ~90 s warm.
+    if _remaining() >= 500:
+        run_stages()
+        run_fused()
+    else:
+        run_fused()
+        run_stages()
 
     # Supplementary: production bg TRAINING step throughput.
     if _remaining() > 120:
