@@ -78,12 +78,6 @@ def _zbuffer_sort(pix: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
     return canvas_label, canvas_depth
 
 
-def _shift_last(c: jnp.ndarray, off: int, fill) -> jnp.ndarray:
-    """Shift right by ``off`` along the last axis, filling with ``fill``."""
-    pad = [(0, 0)] * (c.ndim - 1) + [(off, 0)]
-    return jnp.pad(c, pad, constant_values=fill)[..., :-off]
-
-
 def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
                     height: int, width: int, placement: str = "scatter",
                     sort_runs: int = 1):
@@ -198,8 +192,15 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
         if pad:  # sentinel groups sort to the end and self-mask
             g2 = jnp.pad(g2, ((0, 0), (0, pad)), constant_values=EMPTY)
             k2 = jnp.pad(k2, ((0, 0), (0, pad)))
+        # is_stable=False: XLA implements stable sort by appending an
+        # iota tiebreaker operand — a third s32[N] array riding every
+        # pass (+50% sort traffic, seen in the fused-program trace).
+        # With num_keys=2 over exactly these 2 operands the comparator
+        # totally orders the pairs, so the sorted output is unique and
+        # stability adds nothing (prof_sort_stability.py).
         parts = [
-            jax.lax.sort((g2[i], k2[i]), num_keys=2) for i in range(r)
+            jax.lax.sort((g2[i], k2[i]), num_keys=2, is_stable=False)
+            for i in range(r)
         ]
         canvas4 = place_sorted(
             jnp.concatenate([p[0] for p in parts]),
@@ -212,7 +213,8 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
         )
     else:
         group_s, key_s = jax.lax.sort(
-            (group.reshape(-1), key.reshape(-1)), num_keys=2
+            (group.reshape(-1), key.reshape(-1)), num_keys=2,
+            is_stable=False,  # pairs are totally ordered; see above
         )
         # Within a group the packed keys are ascending, so each group's
         # FIRST element is its min: scatter run starts into the (B·4·P)
@@ -225,21 +227,30 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
         canvas4 = canvas4.at[tgt].set(
             key_s, mode="drop", unique_indices=True
         )
-    g = canvas4.reshape(b, 4, num_pixels)
+    # Corner fold in 2-D (b, 4, H, W): genuine row/col pad-shifts keep the
+    # canvas in its native (8,128) tiling — the flat-P formulation made
+    # XLA materialize a T(4,128) transposed copy of the whole 4-plane
+    # canvas (~1.5 ms per 3-frame pass in the fused-program trace,
+    # scripts/prof_fold.py: 3.9 -> 2.4 ms). Semantically identical to
+    # flat shifts: fu=1 never occurs in the last column and fv=1 never in
+    # the last row (clamped offsets), so the flat shift's row bleed only
+    # ever carried EMPTY — exactly what the 2-D pad inserts.
+    g = canvas4.reshape(b, 4, height, width)
     g0, g1, g2, g3 = g[:, 0], g[:, 1], g[:, 2], g[:, 3]
 
     m00 = jnp.minimum(jnp.minimum(g0, g1), jnp.minimum(g2, g3))
     m10 = jnp.minimum(g1, g3)  # points whose ceil-u corner is base+1
     m01 = jnp.minimum(g2, g3)
     m11 = g3
-    # fu=1 never occurs in the last column and fv=1 never in the last row
-    # (clamped offsets), so flat shifts cannot bleed across rows.
+
+    def _shift2(c, dv, du):
+        return jnp.pad(
+            c, ((0, 0), (dv, 0), (du, 0)), constant_values=EMPTY
+        )[:, :height, :width]
+
     canvas = jnp.minimum(
-        jnp.minimum(m00, _shift_last(m10, 1, EMPTY)),
-        jnp.minimum(
-            _shift_last(m01, width, EMPTY),
-            _shift_last(m11, width + 1, EMPTY),
-        ),
+        jnp.minimum(m00, _shift2(m10, 0, 1)),
+        jnp.minimum(_shift2(m01, 1, 0), _shift2(m11, 1, 1)),
     )
 
     touched = canvas != EMPTY
@@ -249,8 +260,6 @@ def _zbuffer_packed(uv: jnp.ndarray, depth: jnp.ndarray, label: jnp.ndarray,
         canvas & jnp.int32(~0xFF), jnp.float32
     )
     out_depth = jnp.where(touched, out_depth, -1.0)
-    out_label = out_label.reshape(b, height, width)
-    out_depth = out_depth.reshape(b, height, width)
     if not batched:
         return out_label[0], out_depth[0]
     return out_label, out_depth
