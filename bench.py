@@ -857,34 +857,83 @@ def _remaining() -> float:
     return BUDGET_S - (time.monotonic() - _T0)
 
 
+CANARY_LINE = '{"canary": 1}'
+# How long a fresh child may stay COMPLETELY silent before it is judged
+# wedged. Every measurement mode prints CANARY_LINE right after its
+# first trivial device op, well before any big compile, so silence past
+# this window is the known first-device-op hang, not a slow compile.
+CANARY_S = float(os.environ.get("PF_BENCH_CANARY_S", "150"))
+
+
+def _emit_canary() -> None:
+    """First-device-op liveness marker for measurement subprocesses."""
+    import jax.numpy as jnp
+
+    assert float(jnp.ones(2).sum()) == 2.0
+    print(CANARY_LINE, flush=True)
+
+
 def _run_tpu_subprocess(mode: str, timeout: float, retries: int = 0):
     """Run a TPU measurement in a subprocess with a timeout.
 
     The tunneled attachment occasionally hangs a fresh process's first
-    device call (especially right after another TPU process exited); a
-    subprocess + timeout keeps one stall from taking the whole benchmark
-    down. Returns ALL stdout lines produced (even on timeout/nonzero
-    exit, so streamed per-stage records survive a deadline kill), or [].
+    device call (especially right after another TPU process exited) —
+    observed repeatedly, sometimes for 10+ minutes. Children print
+    ``CANARY_LINE`` right after their first device op; a child still
+    silent after ``CANARY_S`` is wedged and gets killed + retried
+    immediately instead of burning the whole phase deadline. Returns
+    ALL stdout lines produced (even on timeout/kill, so streamed
+    per-stage records survive), or [].
     """
     import subprocess
 
+    import os as _os
+    import selectors
+
     out: list[str] = []
     for attempt in range(retries + 1):
+        deadline = time.monotonic() + max(10, timeout)
+        proc = subprocess.Popen(
+            [sys.executable, "-u", __file__, mode],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        )
+        fd = proc.stdout.fileno()
+        lines: list[str] = []
+        canary_deadline = time.monotonic() + CANARY_S
+        wedged = False
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
+        buf = b""
+        while True:
+            now = time.monotonic()
+            if now >= deadline or (not lines and now >= canary_deadline):
+                wedged = not lines
+                proc.kill()
+                break
+            if not sel.select(timeout=min(5.0, deadline - now)):
+                continue
+            chunk = _os.read(fd, 65536)
+            if chunk == b"":
+                break  # EOF: child exited
+            buf += chunk
+            while b"\n" in buf:
+                ln, buf = buf.split(b"\n", 1)
+                ln = ln.decode("utf-8", "replace").strip()
+                if ln:
+                    lines.append(ln)
+        sel.close()
         try:
-            r = subprocess.run(
-                [sys.executable, __file__, mode],
-                capture_output=True, text=True, timeout=max(10, timeout),
-            )
-            out = (r.stdout or "").strip().splitlines()
-            if r.returncode == 0 and out:
-                return out
-        except subprocess.TimeoutExpired as exc:
-            stdout = exc.stdout
-            if isinstance(stdout, bytes):
-                stdout = stdout.decode("utf-8", "replace")
-            out = (stdout or "").strip().splitlines()
+            proc.wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        out = [ln for ln in lines if ln != CANARY_LINE]
+        if proc.returncode == 0 and out:
+            return out
         if attempt < retries:
-            time.sleep(15)  # let the chip/tunnel settle before retrying
+            # A wedged child never touched the chip — retry immediately;
+            # otherwise give the chip/tunnel a moment to settle.
+            if not wedged:
+                time.sleep(15)
     return out
 
 
@@ -1070,14 +1119,17 @@ def main() -> None:
 
 if __name__ == "__main__":
     if "--fused-only" in sys.argv:
+        _emit_canary()
         print(measure_fused())
     elif "--train-only" in sys.argv:
+        _emit_canary()
         # One line per model, flushed in priority order, so a deadline
         # kill still salvages everything already printed.
         print(json.dumps(measure_train_step()), flush=True)
         print(json.dumps(measure_train_step_odom()), flush=True)
         print(json.dumps(measure_train_step_fg()), flush=True)
     elif "--stages-only" in sys.argv:
+        _emit_canary()
         print(json.dumps(measure_tpu_stages()))
     else:
         main()
