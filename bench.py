@@ -873,7 +873,8 @@ def _emit_canary() -> None:
     print(CANARY_LINE, flush=True)
 
 
-def _run_tpu_subprocess(mode: str, timeout: float, retries: int = 0):
+def _run_tpu_subprocess(mode: str, timeout: float, retries: int = 0,
+                        _argv=None, _canary_s: float | None = None):
     """Run a TPU measurement in a subprocess with a timeout.
 
     The tunneled attachment occasionally hangs a fresh process's first
@@ -884,22 +885,25 @@ def _run_tpu_subprocess(mode: str, timeout: float, retries: int = 0):
     immediately instead of burning the whole phase deadline. Returns
     ALL stdout lines produced (even on timeout/kill, so streamed
     per-stage records survive), or [].
+
+    ``_argv`` / ``_canary_s`` exist for the unit tests (fake children).
     """
     import subprocess
 
     import os as _os
     import selectors
 
+    canary_s = CANARY_S if _canary_s is None else _canary_s
     out: list[str] = []
     for attempt in range(retries + 1):
         deadline = time.monotonic() + max(10, timeout)
         proc = subprocess.Popen(
-            [sys.executable, "-u", __file__, mode],
+            _argv or [sys.executable, "-u", __file__, mode],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
         )
         fd = proc.stdout.fileno()
         lines: list[str] = []
-        canary_deadline = time.monotonic() + CANARY_S
+        canary_deadline = time.monotonic() + canary_s
         wedged = False
         sel = selectors.DefaultSelector()
         sel.register(proc.stdout, selectors.EVENT_READ)

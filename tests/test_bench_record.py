@@ -74,6 +74,50 @@ def test_parse_stream_salvages_stage_lines_and_dicts():
     assert misc["bg_train_step_ms"] == 159.9
 
 
+def _fake_child(code):
+    import sys
+    return [sys.executable, "-u", "-c", code]
+
+
+def test_subprocess_streams_and_strips_canary():
+    lines = bench._run_tpu_subprocess(
+        "--ignored", timeout=20,
+        _argv=_fake_child(
+            "print('{\"canary\": 1}', flush=True);"
+            "print('{\"stage\": \"pc_stage_ms\", \"ms\": 1.0}', flush=True)"
+        ),
+        _canary_s=10,
+    )
+    assert lines == ['{"stage": "pc_stage_ms", "ms": 1.0}']
+
+
+def test_subprocess_kills_silent_wedged_child_fast():
+    import time as _t
+    t0 = _t.monotonic()
+    lines = bench._run_tpu_subprocess(
+        "--ignored", timeout=60,
+        _argv=_fake_child("import time; time.sleep(120)"),
+        _canary_s=2,
+    )
+    took = _t.monotonic() - t0
+    assert lines == []
+    assert took < 20, f"wedged child not killed promptly ({took:.1f}s)"
+
+
+def test_subprocess_salvages_lines_on_deadline_kill():
+    lines = bench._run_tpu_subprocess(
+        "--ignored", timeout=4,
+        _argv=_fake_child(
+            "import time;"
+            "print('{\"canary\": 1}', flush=True);"
+            "print('{\"stage\": \"bg_ms\", \"ms\": 9.6}', flush=True);"
+            "time.sleep(120)"
+        ),
+        _canary_s=10,
+    )
+    assert lines == ['{"stage": "bg_ms", "ms": 9.6}']
+
+
 def test_parse_stream_last_value_wins_on_retry():
     stages, misc = {}, {}
     bench._parse_stream(
