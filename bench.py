@@ -1061,7 +1061,11 @@ def main() -> None:
         # a warm cache) then costs one short attempt, and the retry reuses
         # the persistent compile cache for every stage the first attempt
         # finished.
-        chain = ("pc_stage_ms", "bg_ms", "fg_ms", "fusion_ms", "pc_ms")
+        # Retry only for the HEADLINE chain; the combined-canvas pc_ms is
+        # a secondary model benchmark not worth a second attempt (a
+        # validation run burned 150 s re-running everything for it and
+        # starved the fused phase).
+        chain = ("pc_stage_ms", "bg_ms", "fg_ms", "fusion_ms")
         misc: dict = {}
         for _attempt in range(2):
             if all(s in stages for s in chain) or _remaining() < 200:
@@ -1089,12 +1093,14 @@ def main() -> None:
             if fused:
                 _emit(_build_record(stages, fused, train, base, base_desc))
 
-    # Phase order is budget-adaptive. Ample budget: stages first (their
-    # streamed lines are the salvage floor), then fused. Squeezed budget
-    # (long outage probing ate it — observed live: 27.8 staged landed but
-    # the faster 34.5 fused never ran): fused FIRST — it is the headline
-    # (value = max(staged, fused)) and costs ~90 s warm.
-    if _remaining() >= 500:
+    # Phase order is budget-adaptive. Truly ample budget: stages first
+    # (their streamed lines are the salvage floor), then fused. Anything
+    # less: fused FIRST — it is the headline (value = max(staged, fused))
+    # and costs ~90 s warm. Two validation runs mis-ordered this: one
+    # landed 27.8 staged and never ran the faster fused; another chose
+    # stages-first at 540 s remaining, re-ran stages, and starved fused —
+    # hence the 650 s bar.
+    if _remaining() >= 650:
         run_stages()
         run_fused()
     else:
