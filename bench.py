@@ -841,6 +841,22 @@ _BASELINE_DESC = (
     "NumPy scatter-min"
 )
 
+# Most recent SELF-measured numbers (this bench, run by the builder on the
+# attached v5e; see docs/perf_notes.md round-4 section for the per-op trace
+# decomposition). NOT driver-verified — attached to the record only when
+# the live measurement fails to land (e.g. a tunnel outage; observed
+# outages run 7+ hours), so an outage-time record still says what the code
+# measured last instead of a bare -1. The headline ``value`` stays -1 in
+# that case: only live numbers count.
+_LAST_SELF_MEASURED = {
+    "date": "2026-08-19",
+    "fused_ms": 25.4, "fused_fps": 39.4, "staged_fps": 32.8,
+    "stages_ms": {"pc_stage_ms": 17.3, "bg_ms": 9.6,
+                  "fg_ms": 2.3, "fusion_ms": 1.3},
+    "bg_train_step_ms": 159.9, "bg_train_imgs_per_s": 50.0,
+    "caveat": "self-measured on the attached v5e, not driver-verified",
+}
+
 # Global wall-clock budget. The round-3 bench was killed by the driver
 # with ZERO output (BENCH_r03.json rc=124) because its worst case was
 # ~75 min of silence. Everything below subtracts elapsed time from every
@@ -1009,6 +1025,11 @@ def _build_record(stages: dict, fused: dict, train: dict,
     record["baseline"] = base_desc
     if note:
         record["note"] = note
+    if best <= 0:
+        # No live headline landed (tunnel outage / wedge): carry the last
+        # self-measured numbers, clearly labeled, so the record is not a
+        # bare -1. ``value`` stays -1 — only live numbers count.
+        record["last_self_measured"] = dict(_LAST_SELF_MEASURED)
     return record
 
 

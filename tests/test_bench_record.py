@@ -28,6 +28,24 @@ def test_empty_record_is_complete_and_unscored():
     json.dumps(r)  # must be emittable
 
 
+def test_unscored_record_carries_last_self_measured():
+    # A tunnel-outage record must not be a bare -1: the last self-measured
+    # numbers ride along, clearly labeled as not driver-verified, while
+    # ``value`` stays -1 (only live numbers count).
+    r = _record(note="outage")
+    assert r["value"] == -1.0
+    lsm = r["last_self_measured"]
+    assert lsm == bench._LAST_SELF_MEASURED
+    assert "not driver-verified" in lsm["caveat"]
+    json.dumps(r)
+
+
+def test_scored_record_omits_last_self_measured():
+    stages = {"pc_stage_ms": 22.0, "bg_ms": 10.0, "fg_ms": 2.5,
+              "fusion_ms": 1.5}
+    assert "last_self_measured" not in _record(stages=stages)
+
+
 def test_staged_only_scores_staged_chain():
     stages = {"pc_stage_ms": 22.0, "bg_ms": 10.0, "fg_ms": 2.5,
               "fusion_ms": 1.5, "pc_ms": 21.0}
