@@ -957,29 +957,54 @@ def _run_tpu_subprocess(mode: str, timeout: float, retries: int = 0,
     return out
 
 
-def _tpu_reachable(patience_s: float = 240, timeout: int = 60) -> bool:
+def _tpu_reachable(patience_s: float = 240, timeout: float | None = None) -> bool:
     """Pre-flight: can a fresh process complete one device op?
 
     When the tunnel is down, every measurement subprocess burns its full
     timeout. Tunnel outages are usually transient (docs/perf_notes.md,
-    extended-outage notes), so short probes repeat every ~20 s until one
+    extended-outage notes), so probes repeat every ~20 s until one
     succeeds or ``patience_s`` elapses.
-    """
-    import subprocess
 
+    Two hard-won rules (round-4 dress rehearsal, 2026-08-20):
+
+    * ``timeout`` must exceed a SLOW-BUT-ALIVE tunnel's first-op latency
+      — 69.5 s was measured on a probe that succeeded; at the old 60 s
+      the whole bench declared a working chip unreachable and burned its
+      entire budget probing. It defaults to ``CANARY_S``: any tunnel a
+      measurement child would survive must also pass the pre-flight.
+    * No pipes + ``subprocess.run``: after the kill it blocks in
+      ``communicate()`` until every inheritor of the pipe exits, and the
+      axon plugin forks helpers — a "60 s" probe cycle was observed
+      overrunning by minutes. Output goes to a temp file and the kill
+      hits the whole process group, so a cycle is strictly bounded.
+    """
+    import signal
+    import subprocess
+    import tempfile
+
+    if timeout is None:
+        timeout = CANARY_S
     deadline = time.monotonic() + patience_s
     while True:
-        try:
-            r = subprocess.run(
+        with tempfile.TemporaryFile() as fout:
+            proc = subprocess.Popen(
                 [sys.executable, "-c",
                  "import jax, jax.numpy as jnp; "
                  "print(float(jnp.ones(3).sum()))"],
-                capture_output=True, text=True, timeout=timeout,
+                stdout=fout, stderr=subprocess.DEVNULL,
+                start_new_session=True,
             )
-            if r.returncode == 0 and r.stdout.strip():
+            try:
+                proc.wait(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except (ProcessLookupError, PermissionError):
+                    pass
+                proc.wait()
+            fout.seek(0)
+            if proc.returncode == 0 and fout.read().strip():
                 return True
-        except subprocess.TimeoutExpired:
-            pass
         if time.monotonic() >= deadline:
             return False
         time.sleep(20)
