@@ -317,23 +317,19 @@ def test_fg_rollout_golden(ref):
 # ---------------------------------------------------------------------------
 
 
-def test_fusion_panoptic_golden(ref):
-    """Fused panoptic maps: reference per-instance paste/composite loop vs
-    our batched separable-matmul paste + masked composite, same weights.
-
-    Uses two scenes with different instance counts (exercises the batch-max
-    collate padding path through run_scene_forward)."""
-    rmodel, _ = _build_ref_fg(ref)
-    mine, variables = _my_fg(rmodel)
-
-    rng = np.random.RandomState(7)
-    t_in, t_out = 3, 3
-    scene_sizes = [2, 3]
+def _fusion_batches(seed=7, scene_sizes=(2, 3), t_in=3, t_out=3,
+                    with_scores=False):
+    """Shared scene-batch builder for the three fusion goldens: the SAME
+    random scenes as (a) the reference's list-collated batch and (b) our
+    dense padded batch. Two scenes with different instance counts exercise
+    the batch-max collate padding path through run_scene_forward."""
+    rng = np.random.RandomState(seed)
     scenes = [_fg_inputs(n, rng, t_in, t_out) for n in scene_sizes]
     backgrounds = [
         rng.randint(0, 19, size=(1024, 2048)).astype(np.int64)
         for _ in scene_sizes
     ]
+    scores = [rng.rand(n).astype(np.float32) for n in scene_sizes]
     # spread predicted depths: keep the raw depth inputs distinct per inst
     for d in scenes:
         d["depths"][:, :, 0] += np.arange(len(d["depths"]), dtype=np.float32)[
@@ -358,9 +354,8 @@ def test_fusion_panoptic_golden(ref):
         "trajectories": [t(d["trajectories"][:, t_in:]) for d in scenes],
         "output_inds": [t(d["output_inds"]) for d in scenes],
     }
-    with torch.no_grad():
-        ref_res = rmodel.predict_panoptic(ref_inputs, ref_labels)
-    ref_seg = ref_res["seg"].numpy()
+    if with_scores:
+        ref_inputs["inst_scores"] = [t(s) for s in scores]
 
     # ---- ours: dense padded scene batch ----
     n_max = max(scene_sizes)
@@ -399,6 +394,21 @@ def test_fusion_panoptic_golden(ref):
             ]),
         },
     }
+    if with_scores:
+        batch["inputs"]["inst_scores"] = np.stack([pad(s) for s in scores])
+    return ref_inputs, ref_labels, batch
+
+
+def test_fusion_panoptic_golden(ref):
+    """Fused panoptic maps: reference per-instance paste/composite loop vs
+    our batched separable-matmul paste + masked composite, same weights."""
+    rmodel, _ = _build_ref_fg(ref)
+    mine, variables = _my_fg(rmodel)
+    ref_inputs, ref_labels, batch = _fusion_batches()
+    with torch.no_grad():
+        ref_res = rmodel.predict_panoptic(ref_inputs, ref_labels)
+    ref_seg = ref_res["seg"].numpy()
+
     from panoptic_forecasting_tpu.eval import fusion
 
     res = fusion.predict_panoptic(mine, variables, batch)
@@ -409,8 +419,65 @@ def test_fusion_panoptic_golden(ref):
     # bilinear paste differs from grid_sample at ~1e-6; only pixels whose
     # mask prob sits exactly on the 0.5 threshold may flip.
     assert mismatch < 1e-4, f"panoptic maps differ on {mismatch:.2%} pixels"
-    for b in range(len(scene_sizes)):
+    for b in range(seg.shape[0]):
         assert set(np.unique(seg[b])) == set(np.unique(ref_seg[b]))
+
+
+def test_fusion_semantics_golden(ref):
+    """predict_semantics (fg_model.py:389-487): instance pixels take trainId
+    class+11 composited in depth order over the UNMODIFIED background canvas
+    (no thing-pixel void reset, unlike predict_panoptic)."""
+    rmodel, _ = _build_ref_fg(ref)
+    mine, variables = _my_fg(rmodel)
+    ref_inputs, ref_labels, batch = _fusion_batches(seed=11)
+    with torch.no_grad():
+        ref_res = rmodel.predict_semantics(ref_inputs, ref_labels)
+    ref_seg = ref_res["seg"].numpy()
+
+    from panoptic_forecasting_tpu.eval import fusion
+
+    res = fusion.predict_semantics(mine, variables, batch)
+    seg = np.asarray(res["seg"])
+
+    assert seg.shape == ref_seg.shape
+    mismatch = float((seg != ref_seg).mean())
+    assert mismatch < 1e-4, f"semantic maps differ on {mismatch:.2%} pixels"
+    for b in range(seg.shape[0]):
+        assert set(np.unique(seg[b])) == set(np.unique(ref_seg[b]))
+
+
+def test_fusion_instances_golden(ref):
+    """predict_instances (fg_model.py:597-746): per-instance binary masks
+    extracted from the visit-order overwrite composite, fully-occluded
+    instances dropped, classes as trainId+11, dataset inst_scores passed
+    through — the payload export_cityscapes_instance_results.py:61-92 writes
+    in Cityscapes AP format."""
+    rmodel, _ = _build_ref_fg(ref)
+    mine, variables = _my_fg(rmodel)
+    ref_inputs, ref_labels, batch = _fusion_batches(seed=13, with_scores=True)
+    with torch.no_grad():
+        ref_res = rmodel.predict_instances(ref_inputs, ref_labels)
+
+    from panoptic_forecasting_tpu.eval import fusion
+
+    res = fusion.predict_instances(mine, variables, batch)
+
+    assert len(res["instances"]) == len(ref_res["instances"])
+    for b, (mine_insts, ref_masks) in enumerate(
+        zip(res["instances"], ref_res["instances"])
+    ):
+        ref_classes = ref_res["instance_classes"][b]
+        ref_scores = ref_res["instance_scores"][b]
+        assert len(mine_insts) == len(ref_masks), f"scene {b} count"
+        for i, inst in enumerate(mine_insts):
+            ref_mask = ref_masks[i].numpy().astype(bool)
+            mismatch = float((inst["mask"] != ref_mask).mean())
+            assert mismatch < 1e-4, (
+                f"scene {b} inst {i} masks differ on {mismatch:.2%} pixels"
+            )
+            assert inst["class_train_id"] == int(ref_classes[i])
+            np.testing.assert_allclose(inst["score"], ref_scores[i],
+                                       rtol=1e-6)
 
 
 # ---------------------------------------------------------------------------
