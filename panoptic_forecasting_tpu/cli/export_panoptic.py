@@ -107,8 +107,11 @@ def backfill_missing(cfg, split, seg_dir, exported, annotations):
             count += 1
             seg = None
             if background_dir:
+                # canvases live under background_dir/{split}/{city}/ (the
+                # loader appends split too; reference fg_scene_dataset.py:51-53
+                # + export_cityscapes_panoptic_results.py:143-146)
                 bg_path = os.path.join(
-                    background_dir, parts[0], os.path.basename(path)
+                    background_dir, split, parts[0], os.path.basename(path)
                 )
                 if os.path.exists(bg_path):
                     # bg export is already trainId-space labelIds PNG; treat
