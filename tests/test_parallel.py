@@ -130,6 +130,70 @@ else:
     assert "n=4" in outs[0] and "n=4" in outs[1]
 
 
+@__import__("pytest").mark.slow
+def test_two_process_train_step_and_fused_serving(tmp_path):
+    """Real 2-process x 2-device DP: one train step must produce params
+    identical to single-process, and the fused forecast must hand each
+    process its own frame shards (tests/two_process_worker.py). This is
+    the process-boundary counterpart of test_dp_gradients_match_single_
+    device — the reference's torchrun/DDP axis (utils/dist.py:12-32)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+
+    import two_process_worker as w
+
+    # Pre-create the shared tiny fg fixture at _build_fg's path so the
+    # two workers don't race its marker-guarded write.
+    root = os.path.join(tempfile.gettempdir(), "pf_tpu_graft_fg_fixture_tiny")
+    marker = os.path.join(root, ".complete")
+    if not os.path.exists(marker):
+        from panoptic_forecasting_tpu.data.synthetic import write_fg_fixture
+
+        write_fg_fixture(root, n_scenes=3, max_instances=3,
+                         feat_channels=32, feat_hw=7)
+        open(marker, "w").close()
+
+    # Single-process reference: the identical step, unsharded.
+    model, state, params, opt, opt_state, batch = w.build_model_and_opt()
+    ref_params, _, ref_loss = w.train_step_fn(model, state, opt)(
+        params, opt_state, batch
+    )
+    ref_path = str(tmp_path / "ref.npz")
+    np.savez(ref_path, **{
+        f"p{i}": np.asarray(leaf)
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(ref_params))
+    })
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    procs = [
+        subprocess.Popen(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__), "two_process_worker.py"),
+             f"localhost:{port}", str(i), ref_path],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True, cwd="/root/repo",
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out}"
+        assert f"TRAIN-OK rank={i}" in outs[i], outs[i]
+        assert f"FUSED-OK rank={i}" in outs[i], outs[i]
+    # both ranks computed the same global loss, equal to single-process
+    l0 = float(outs[0].split("loss=")[1].split()[0])
+    l1 = float(outs[1].split("loss=")[1].split()[0])
+    assert l0 == l1
+    np.testing.assert_allclose(l0, float(ref_loss), rtol=1e-5)
+
+
 def test_dp_gradients_match_single_device(tmp_path):
     """Same batch, single-device vs 8-device DP sharding: identical grads.
 
