@@ -68,6 +68,12 @@ class BGDataset:
         self.depth_h5 = None
         if self.use_depths:
             self.depth_h5 = LazyH5(d["depth_h5_path"] % split)
+        # Default: ship the RAW uint16 depth block and decode it on the
+        # (loader-starved) device — BGModel._prep_inputs, bit-identical;
+        # the decode commutes with the NEAREST/crop/flip/pad transforms
+        # (pointwise; raw pad value 0 decodes to invalid). Saves ~25 ms of
+        # host numpy per sample (scripts/prof_train_pipeline.py).
+        self.host_depth_decode = bool(d.get("host_depth_decode"))
 
         self.samples: List[Tuple[str, List[str], str, str, int, int, int]] = []
         for city in sorted(os.listdir(self.gt_dir)):
@@ -148,12 +154,20 @@ class BGDataset:
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         gt_file, files, city, seq, frame, fr, start_fr = self.samples[idx]
-        gt = load_png(gt_file).astype(np.int32)
+        # Narrow dtypes through the whole host path: decode stays uint8/
+        # uint16, widening happens after the crop (16x fewer pixels) or on
+        # device — at full res the int32 conversions alone cost ~15 ms of
+        # the 120 ms sample (scripts/prof_train_pipeline.py).
+        gt = load_png(gt_file)
         # one triplet shares geometry -> native threaded batch decode
-        segs = list(load_png_batch(files).astype(np.int32))
+        segs = list(load_png_batch(files))
         arrs = []
         if self.use_depths:
-            arrs.append(self._load_depth_block(city, seq, frame, start_fr))
+            if self.host_depth_decode:
+                arrs.append(self._load_depth_block(city, seq, frame, start_fr))
+            else:
+                key = f"{city}/{seq}/{frame:06d}/{start_fr}"
+                arrs.append(self.depth_h5[key][:])  # raw (H, W, T) uint16
 
         rng = np.random.RandomState(
             (hash((idx, self._epoch_seed)) & 0x7FFFFFFF)
@@ -162,7 +176,9 @@ class BGDataset:
             segs, gt, arrs = tr(segs, gt, arrs, rng)
 
         out: Dict[str, Any] = {
-            "inputs": {"seg": np.stack(segs).astype(np.int32)},
+            # uint8 to the device (4x less transfer); BGModel._prep_inputs
+            # widens in-graph
+            "inputs": {"seg": np.ascontiguousarray(np.stack(segs))},
             "labels": {"seg": gt.astype(np.int32)},
             "meta": {
                 "city": city,
@@ -173,8 +189,12 @@ class BGDataset:
             },
         }
         if self.use_depths:
-            dep = arrs[0]  # (H, W, T)
-            dep = np.moveaxis(dep, -1, 0).astype(np.float32)  # (T, H, W)
-            out["inputs"]["depth"] = dep
-            out["inputs"]["depth_mask"] = dep > 0
+            dep = np.moveaxis(arrs[0], -1, 0)  # (T, H, W)
+            if self.host_depth_decode:
+                dep = dep.astype(np.float32)
+                out["inputs"]["depth"] = dep
+                out["inputs"]["depth_mask"] = dep > 0
+            else:
+                # raw uint16; decode + mask happen in-graph
+                out["inputs"]["depth"] = np.ascontiguousarray(dep)
         return out

@@ -38,6 +38,9 @@ class BGModel(TaskModel):
         self.use_depth_inps = bool(m.get("use_depth_inps"))
         self.num_inputs = int(m.get("num_inputs", 1))
         self.convert2onehot = bool(m.get("convert2onehot"))
+        # device-side decode of RAW uint16 depth blocks (see _prep_inputs)
+        self.min_depth = float(d.get("min_depth", 0.1))
+        self.max_depth = float(d.get("max_depth", 200.0))
         fw, fh = m.get("final_w"), m.get("final_h")
         self.final_size = (int(fh), int(fw)) if fw and fh else None
         if self.use_depth_inps:
@@ -152,14 +155,35 @@ class BGModel(TaskModel):
     def _stem_interpret(self) -> bool:
         return self.stem_kernel == "interpret"
 
-    def forward(self, variables, batch, train=False, return_orig_size=False,
-                mutable=False, return_argmax=False):
-        inp = batch["inputs"]
+    def _prep_inputs(self, inp):
+        """-> (seg int32, depth f32 | None, depth_mask | None).
+
+        The loader may ship COMPACT encodings and let the (otherwise
+        loader-starved) device pay the elementwise decode: seg as uint8
+        and depth as the RAW uint16 h5 block (``d/256 - 1``, 0 = invalid,
+        clamped — bg_dataset.py:224-228 semantics, bit-identical to the
+        host decode since /256 and the comparisons are exact in f32;
+        pinned by tests/test_bg_slice.py). Saves ~25 ms/sample of host
+        numpy + 2x transfer bytes (scripts/prof_train_pipeline.py).
+        """
         seg = jnp.asarray(inp["seg"])
+        if seg.dtype != jnp.int32:
+            seg = seg.astype(jnp.int32)
         depth = jnp.asarray(inp["depth"]) if "depth" in inp else None
         dmask = (
             jnp.asarray(inp["depth_mask"]) if "depth_mask" in inp else None
         )
+        if depth is not None and depth.dtype == jnp.uint16:
+            dep = depth.astype(jnp.float32) / 256.0 - 1.0
+            dmask = dep > 0
+            depth = jnp.where(
+                dmask, jnp.clip(dep, self.min_depth, self.max_depth), -1.0
+            )
+        return seg, depth, dmask
+
+    def forward(self, variables, batch, train=False, return_orig_size=False,
+                mutable=False, return_argmax=False):
+        seg, depth, dmask = self._prep_inputs(batch["inputs"])
         kwargs = dict(
             train=train,
             final_size=self.final_size,
@@ -191,12 +215,7 @@ class BGModel(TaskModel):
 
     # -- TaskModel protocol -------------------------------------------------
     def init(self, rng, batch):
-        inp = batch["inputs"]
-        x = self._assemble(
-            jnp.asarray(inp["seg"]),
-            jnp.asarray(inp["depth"]) if "depth" in inp else None,
-            jnp.asarray(inp["depth_mask"]) if "depth_mask" in inp else None,
-        )
+        x = self._assemble(*self._prep_inputs(batch["inputs"]))
         variables = self.module.init(rng, x)
         if self.pretrain_path:
             variables = self._load_pretrained(variables)

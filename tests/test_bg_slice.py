@@ -140,6 +140,36 @@ def test_bg_model_input_assembly_channel_order(bg_cfg):
     assert float(full[0, 0, 0, 11 + 2]) == 1.0  # t1 class2
 
 
+def test_bg_raw_depth_device_decode_matches_host(bg_cfg):
+    """The loader's default RAW-uint16 depth path (decoded in-graph by
+    BGModel._prep_inputs) must be bit-identical to the host-decoded float
+    path: /256 is exact in f32 and the decode commutes with the NEAREST
+    crop/flip/pad transforms (pad 0 decodes to invalid)."""
+    import copy
+
+    cfg_host = copy.deepcopy(bg_cfg)
+    cfg_host["data"]["host_depth_decode"] = True
+    data_raw = build_dataset(bg_cfg)
+    data_host = build_dataset(cfg_host)
+    model = build_model(bg_cfg, data_raw.card)
+    for idx in (0, 1):
+        raw = data_raw.datasets["train"][idx]
+        host = data_host.datasets["train"][idx]
+        assert raw["inputs"]["depth"].dtype == np.uint16
+        assert raw["inputs"]["seg"].dtype == np.uint8
+        assert "depth_mask" not in raw["inputs"]
+        b_raw = default_collate([raw])
+        b_host = default_collate([host])
+        _, dep_r, mask_r = model._prep_inputs(b_raw["inputs"])
+        _, dep_h, mask_h = model._prep_inputs(b_host["inputs"])
+        np.testing.assert_array_equal(np.asarray(dep_r), np.asarray(dep_h))
+        np.testing.assert_array_equal(np.asarray(mask_r), np.asarray(mask_h))
+        variables = model.init(jax.random.PRNGKey(0), b_raw)
+        out_r = model.forward(variables, b_raw)
+        out_h = model.forward(variables, b_host)
+        np.testing.assert_array_equal(np.asarray(out_r), np.asarray(out_h))
+
+
 @pytest.mark.slow
 def test_bg_train_step_and_predict(bg_cfg):
     from panoptic_forecasting_tpu.train.loop import train
