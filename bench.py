@@ -59,6 +59,61 @@ def _timed(fn, args, k):
     return best
 
 
+# v5e peaks for the roofline fields (VERDICT r04 item 6): bf16 MXU peak
+# and HBM bandwidth per chip. MFU uses the bf16 peak (same convention as
+# docs/perf_notes.md's ~19% bg-train figure) even for f32 programs.
+PEAK_TFLOPS_BF16 = 197.0
+HBM_GBPS = 819.0
+
+
+def _cost_analysis(jitted, args, k):
+    """(gflops, gb) per loop iteration from the compiled program's XLA
+    cost analysis; None when the backend doesn't report it.
+
+    The TPU compiler counts a while/scan BODY once regardless of trip
+    count (verified: k=1 and k=20 scans report identical flops, and the
+    K=10 bg-train program reports 613.9 GFLOPs ≈ the independently
+    derived 612.7 GFLOPs/step) — so the scan-harness numbers are already
+    per-iteration and k is NOT divided out."""
+    del k
+    try:
+        comp = jitted.lower(*args, np.float32(0)).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        fl = float(ca.get("flops", -1.0))
+        by = float(ca.get("bytes accessed", -1.0))
+        if fl <= 0 and by <= 0:
+            return None
+        return max(fl, 0.0) / 1e9, max(by, 0.0) / 1e9
+    except Exception:
+        return None
+
+
+def _roofline_fields(gflops: float, gb: float, ms: float) -> dict:
+    return {
+        "gflops": round(gflops, 2),
+        "gb": round(gb, 3),
+        "achieved_tflops": round(gflops / ms, 3),
+        "achieved_gbps": round(gb / ms * 1e3, 1),
+        "pct_hbm_peak": round(gb / ms * 1e3 / HBM_GBPS * 100, 1),
+        # gflops/ms == TFLOP/s; MFU against the v5e bf16 MXU peak
+        "mfu_pct": round(gflops / ms / PEAK_TFLOPS_BF16 * 100, 2),
+    }
+
+
+def _emit_roofline(name: str, fn, args, k, ms: float) -> dict | None:
+    """Stream a per-stage roofline line (utilization lives in the driver
+    record, not just prose — VERDICT r04 item 6). The compile is a cache
+    hit: ``fn`` was just executed by ``_timed``."""
+    r = _cost_analysis(fn, args, k)
+    if not r or ms <= 0:
+        return None
+    fields = _roofline_fields(*r, ms)
+    print(json.dumps({"roofline_stage": name, **fields}), flush=True)
+    return fields
+
+
 def _emit_stage(name: str, ms: float) -> None:
     """Stream a per-stage result line so the parent can salvage partial
     measurements if this subprocess is killed at its deadline."""
@@ -165,10 +220,11 @@ def measure_tpu_stages(k: int = K) -> dict:
             height=H, width=W,
         )
 
-    results["pc_stage_ms"] = (
-        _timed(scan_loop(pc_forecast_perframe), (depth,), k) * 1e3
-    )
+    fn_pc_pf = scan_loop(pc_forecast_perframe)
+    results["pc_stage_ms"] = _timed(fn_pc_pf, (depth,), k) * 1e3
     _emit_stage("pc_stage_ms", results["pc_stage_ms"])
+    _emit_roofline("pc_stage_ms", fn_pc_pf, (depth,), k,
+                   results["pc_stage_ms"])
 
     # ---- 2. bg ----
     net = HarDNet(n_classes=11)
@@ -227,8 +283,10 @@ def measure_tpu_stages(k: int = K) -> dict:
         # lane-padded (B, H, W, 11) full-res logits (~1 GB).
         return net_f.apply(bg_vars_f, y0, return_argmax=True)
 
-    results["bg_ms"] = _timed(scan_loop(bg_step), (x_bg,), k) * 1e3
+    fn_bg = scan_loop(bg_step)
+    results["bg_ms"] = _timed(fn_bg, (x_bg,), k) * 1e3
     _emit_stage("bg_ms", results["bg_ms"])
+    _emit_roofline("bg_ms", fn_bg, (x_bg,), k, results["bg_ms"])
 
     # ---- 3. fg ----
     core = FGCore(rnn_hidden=128)
@@ -242,14 +300,13 @@ def measure_tpu_stages(k: int = K) -> dict:
     fg_vars = jax.jit(
         lambda r: core.init(r, enc_inp, feats, odom_out, T_OUT)
     )(jax.random.PRNGKey(0))
-    results["fg_ms"] = _timed(
-        scan_loop(
-            lambda x, s: core.apply(fg_vars, x + 0.001 * s, feats,
-                                    odom_out, T_OUT)
-        ),
-        (enc_inp,), k,
-    ) * 1e3
+    fn_fg = scan_loop(
+        lambda x, s: core.apply(fg_vars, x + 0.001 * s, feats,
+                                odom_out, T_OUT)
+    )
+    results["fg_ms"] = _timed(fn_fg, (enc_inp,), k) * 1e3
     _emit_stage("fg_ms", results["fg_ms"])
+    _emit_roofline("fg_ms", fn_fg, (enc_inp,), k, results["fg_ms"])
 
     # ---- 4. fusion ----
     masks = jnp.asarray(rng.rand(N_INST, 28, 28).astype(np.float32))
@@ -267,14 +324,18 @@ def measure_tpu_stages(k: int = K) -> dict:
         )
         return seg_out, dep_out
 
-    results["fusion_ms"] = _timed(scan_loop(fuse), (masks,), k) * 1e3
+    fn_fuse = scan_loop(fuse)
+    results["fusion_ms"] = _timed(fn_fuse, (masks,), k) * 1e3
     _emit_stage("fusion_ms", results["fusion_ms"])
+    _emit_roofline("fusion_ms", fn_fuse, (masks,), k, results["fusion_ms"])
 
     # Combined-canvas pc (the reference model's no-ind predict,
     # pc_transform_model.py:33-150): a separate model benchmark, measured
     # last because the staged chain above does not consume it.
-    results["pc_ms"] = _timed(scan_loop(pc_forecast), (depth,), k) * 1e3
+    fn_pc = scan_loop(pc_forecast)
+    results["pc_ms"] = _timed(fn_pc, (depth,), k) * 1e3
     _emit_stage("pc_ms", results["pc_ms"])
+    _emit_roofline("pc_ms", fn_pc, (depth,), k, results["pc_ms"])
 
     # Staged chain = per-frame pc canvases (what bg consumes) + bg + fg
     # + fusion; the combined-canvas pc_ms is a separate model benchmark.
@@ -386,9 +447,10 @@ def measure_fused(k: int = K) -> float:
             body, jnp.float32(0), jnp.arange(k, dtype=jnp.float32)
         )[0]
 
-    return _timed(
-        loop, (bg_vars, fg_vars, pc_in, fg_in, jnp.asarray(depth)), k
-    ) * 1e3
+    args = (bg_vars, fg_vars, pc_in, fg_in, jnp.asarray(depth))
+    ms = _timed(loop, args, k) * 1e3
+    _emit_roofline("fused", loop, args, k, ms)
+    return ms
 
 
 # ---------------------------------------------------------------------------
@@ -475,10 +537,19 @@ def measure_train_step(k: int = 10, b: int = 8, t_in: int = 3,
         _ = float(run_k(params, state, opt_state, np.float32(i + 1)))
         best = min(best, (time.perf_counter() - t0) / k)
     ms = best * 1e3
-    return {
+    out = {
         "bg_train_step_ms": round(ms, 3),
         "bg_train_imgs_per_s": round(b * 1000.0 / ms, 2),
     }
+    # MFU/roofline of the heaviest train program in the driver record
+    # itself (VERDICT r04 item 6), from the same compiled executable.
+    ca = _cost_analysis(run_k, (params, state, opt_state), k)
+    if ca:
+        rf = _roofline_fields(*ca, ms)
+        out["bg_train_mfu_pct"] = rf["mfu_pct"]
+        out["bg_train_achieved_gbps"] = rf["achieved_gbps"]
+        out["bg_train_gflops_per_step"] = rf["gflops"]
+    return out
 
 
 def measure_train_step_odom(k: int = 20, b: int = 32) -> dict:
@@ -848,14 +919,37 @@ _BASELINE_DESC = (
 # outages run 7+ hours), so an outage-time record still says what the code
 # measured last instead of a bare -1. The headline ``value`` stays -1 in
 # that case: only live numbers count.
-_LAST_SELF_MEASURED = {
-    "date": "2026-08-19",
-    "fused_ms": 25.4, "fused_fps": 39.4, "staged_fps": 32.8,
-    "stages_ms": {"pc_stage_ms": 17.3, "bg_ms": 9.6,
-                  "fg_ms": 2.3, "fusion_ms": 1.3},
-    "bg_train_step_ms": 159.9, "bg_train_imgs_per_s": 50.0,
-    "caveat": "self-measured on the attached v5e, not driver-verified",
-}
+def _prior_verified() -> dict:
+    """Latest driver-captured headline from the BENCH_r*.json the driver
+    writes at the repo root — read at runtime so it can never go stale,
+    and emitted under ``unverified_``-prefixed keys so no parser can
+    mistake it for a live measurement (advisor r04). Returns a pointer
+    record when no prior driver file parsed."""
+    import glob as _glob
+
+    best_n, parsed, src = -1, None, None
+    for path in _glob.glob(os.path.join(os.path.dirname(__file__) or ".",
+                                        "BENCH_r*.json")):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            p = rec.get("parsed") or {}
+            n = int(rec.get("n", -1))
+            if float(p.get("value", -1)) > 0 and n > best_n:
+                best_n, parsed, src = n, p, os.path.basename(path)
+        except (ValueError, OSError):
+            continue
+    out = {"caveat": "prior round's driver-verified numbers, NOT measured "
+                     "in this run; see PROGRESS.jsonl / docs/perf_notes.md"}
+    if parsed is None:
+        out["source"] = "none parsed; see docs/perf_notes.md"
+        return out
+    out["source"] = src
+    for key in ("fused_ms", "fused_fps", "staged_fps", "stages_ms",
+                "bg_train_step_ms", "bg_train_imgs_per_s"):
+        if key in parsed:
+            out[f"unverified_{key}"] = parsed[key]
+    return out
 
 # Global wall-clock budget. The round-3 bench was killed by the driver
 # with ZERO output (BENCH_r03.json rc=124) because its worst case was
@@ -985,7 +1079,31 @@ def _tpu_reachable(patience_s: float = 240, timeout: float | None = None) -> boo
     if timeout is None:
         timeout = CANARY_S
     deadline = time.monotonic() + patience_s
+
+    def _kill_group(proc):
+        """Bounded teardown of the probe's whole session: killpg, fall
+        back to killing the direct child if the group kill is refused,
+        and never wait unboundedly (advisor r04)."""
+        for kill in (lambda: os.killpg(proc.pid, signal.SIGKILL),
+                     proc.kill):
+            try:
+                kill()
+            except (ProcessLookupError, PermissionError):
+                pass
+            try:
+                proc.wait(timeout=10)
+                return
+            except subprocess.TimeoutExpired:
+                continue
+
     while True:
+        # A cycle may exceed patience_s by at most 30 s: the per-probe
+        # wait is capped by the remaining patience (+grace) so the last
+        # cycle cannot eat a full CANARY_S past the deadline and starve
+        # the stages phase downstream (advisor r04).
+        this_timeout = min(
+            timeout, max(deadline - time.monotonic(), 0) + 30
+        )
         with tempfile.TemporaryFile() as fout:
             proc = subprocess.Popen(
                 [sys.executable, "-c",
@@ -995,13 +1113,15 @@ def _tpu_reachable(patience_s: float = 240, timeout: float | None = None) -> boo
                 start_new_session=True,
             )
             try:
-                proc.wait(timeout=timeout)
+                proc.wait(timeout=this_timeout)
             except subprocess.TimeoutExpired:
-                try:
-                    os.killpg(proc.pid, signal.SIGKILL)
-                except (ProcessLookupError, PermissionError):
-                    pass
-                proc.wait()
+                pass
+            # ALWAYS kill the probe's session, success included: axon
+            # helper processes forked by the probe can outlive it holding
+            # the TPU attachment — the post-exit wedge condition
+            # _run_tpu_subprocess documents (next child's first device op
+            # hangs).
+            _kill_group(proc)
             fout.seek(0)
             if proc.returncode == 0 and fout.read().strip():
                 return True
@@ -1015,7 +1135,8 @@ def _emit(record: dict) -> None:
 
 
 def _build_record(stages: dict, fused: dict, train: dict,
-                  base: dict, base_desc: str, note: str = "") -> dict:
+                  base: dict, base_desc: str, note: str = "",
+                  roofline: dict | None = None) -> dict:
     chain = ("pc_stage_ms", "bg_ms", "fg_ms", "fusion_ms")
     record = {
         "metric": "e2e_forecast_fps",
@@ -1048,18 +1169,27 @@ def _build_record(stages: dict, fused: dict, train: dict,
         for s in ("pc_ms", "bg_ms", "fg_ms", "fusion_ms")
     }
     record["baseline"] = base_desc
+    if roofline:
+        # Per-stage achieved TFLOP/s + GB/s + %-of-roofline from the
+        # compiled programs' own XLA cost analysis (VERDICT r04 item 6):
+        # utilization lives in the driver record, not just perf_notes.
+        record["roofline"] = {
+            name: dict(v) for name, v in sorted(roofline.items())
+        }
     if note:
         record["note"] = note
     if best <= 0:
         # No live headline landed (tunnel outage / wedge): carry the last
-        # self-measured numbers, clearly labeled, so the record is not a
-        # bare -1. ``value`` stays -1 — only live numbers count.
-        record["last_self_measured"] = dict(_LAST_SELF_MEASURED)
+        # driver-verified numbers, clearly labeled and key-prefixed, so
+        # the record is not a bare -1. ``value`` stays -1 — only live
+        # numbers count.
+        record["last_self_measured"] = _prior_verified()
     return record
 
 
-def _parse_stream(lines: list[str], stages: dict, misc: dict) -> None:
-    """Fold streamed child lines into the stage/misc dicts."""
+def _parse_stream(lines: list[str], stages: dict, misc: dict,
+                  roofline: dict | None = None) -> None:
+    """Fold streamed child lines into the stage/misc/roofline dicts."""
     for ln in lines:
         try:
             obj = json.loads(ln)
@@ -1069,6 +1199,10 @@ def _parse_stream(lines: list[str], stages: dict, misc: dict) -> None:
             continue
         if "stage" in obj and "ms" in obj:
             stages[obj["stage"]] = float(obj["ms"])
+        elif "roofline_stage" in obj:
+            if roofline is not None:
+                name = obj.pop("roofline_stage")
+                roofline[name] = obj
         else:  # the child's final full dict, or train-step keys
             misc.update(obj)
 
@@ -1077,6 +1211,7 @@ def main() -> None:
     stages: dict = {}
     fused: dict = {}
     train: dict = {}
+    roofline: dict = {}
     base = dict(_CACHED_BASELINE)
     base_desc = _BASELINE_DESC + " (cached from driver-verified BENCH_r02)"
 
@@ -1118,8 +1253,9 @@ def main() -> None:
                 break
             lines = _run_tpu_subprocess(
                 "--stages-only", timeout=min(_remaining() - 150, 360))
-            _parse_stream(lines, stages, misc)
-            _emit(_build_record(stages, fused, train, base, base_desc))
+            _parse_stream(lines, stages, misc, roofline)
+            _emit(_build_record(stages, fused, train, base, base_desc,
+                                roofline=roofline))
 
     def run_fused():
         # The flagship number: the single-jit fused forecast. Cold compile
@@ -1130,6 +1266,7 @@ def main() -> None:
                 break
             flines = _run_tpu_subprocess(
                 "--fused-only", timeout=min(_remaining() - 40, 360))
+            _parse_stream(flines, {}, {}, roofline)
             for ln in reversed(flines):
                 try:
                     fused["fused_ms"] = float(ln)
@@ -1137,7 +1274,8 @@ def main() -> None:
                 except ValueError:
                     continue
             if fused:
-                _emit(_build_record(stages, fused, train, base, base_desc))
+                _emit(_build_record(stages, fused, train, base, base_desc,
+                                    roofline=roofline))
 
     # Phase order is budget-adaptive. Truly ample budget: stages first
     # (their streamed lines are the salvage floor), then fused. Anything
@@ -1157,10 +1295,11 @@ def main() -> None:
     if _remaining() > 120:
         tlines = _run_tpu_subprocess(
             "--train-only", timeout=min(_remaining() - 40, 360))
-        _parse_stream(tlines, {}, train)
+        _parse_stream(tlines, {}, train, roofline)
         train = {k2: v for k2, v in train.items() if "_train_" in k2}
         if train:
-            _emit(_build_record(stages, fused, train, base, base_desc))
+            _emit(_build_record(stages, fused, train, base, base_desc,
+                                roofline=roofline))
 
     # Live CPU baseline re-measure only with ample budget left; the
     # cached record above otherwise stands.
@@ -1168,7 +1307,8 @@ def main() -> None:
         try:
             base = measure_reference_cpu()
             base_desc = _BASELINE_DESC
-            _emit(_build_record(stages, fused, train, base, base_desc))
+            _emit(_build_record(stages, fused, train, base, base_desc,
+                                roofline=roofline))
         except Exception:  # pragma: no cover — cached baseline stands
             pass
 

@@ -75,13 +75,7 @@ def timed(label, body):
 
 
 base_ms = timed(f"runs= 1 (3x{N})", split_sort(1))
-for runs in (4, 8, 16, 32, 64):
-    n = N // runs
-    lg, lgs = int(np.log2(N)), int(np.log2(n))
-    model = (lgs * (lgs + 1)) / (lg * (lg + 1))
-    r = timed(f"runs={runs:2d} (3x{runs}x{n})", split_sort(runs))
-    print(f"    -> {r / base_ms:.2f}x measured vs {model:.2f}x traffic model",
-          flush=True)
-for runs in (4, 16):
-    r = timed(f"batched runs={runs:2d}", batched_sort(runs))
-    print(f"    -> {r / base_ms:.2f}x vs split", flush=True)
+for runs in (64, 256, 1024):
+    r = timed(f"batched runs={runs:4d} (rows of {N // runs})",
+              batched_sort(runs))
+    print(f"    -> {r / base_ms:.2f}x vs one sort", flush=True)

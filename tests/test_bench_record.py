@@ -29,15 +29,43 @@ def test_empty_record_is_complete_and_unscored():
 
 
 def test_unscored_record_carries_last_self_measured():
-    # A tunnel-outage record must not be a bare -1: the last self-measured
-    # numbers ride along, clearly labeled as not driver-verified, while
-    # ``value`` stays -1 (only live numbers count).
+    # A tunnel-outage record must not be a bare -1: the latest
+    # driver-verified BENCH_r*.json numbers ride along under
+    # ``unverified_``-prefixed keys (no live-record name collisions,
+    # advisor r04), while ``value`` stays -1 (only live numbers count).
     r = _record(note="outage")
     assert r["value"] == -1.0
     lsm = r["last_self_measured"]
-    assert lsm == bench._LAST_SELF_MEASURED
-    assert "not driver-verified" in lsm["caveat"]
+    assert "NOT measured" in lsm["caveat"]
+    assert "source" in lsm
+    # every numeric key is prefixed — a scoreboard parser scanning for
+    # live names (fused_fps, staged_fps, ...) must not match
+    for key in lsm:
+        if key not in ("caveat", "source"):
+            assert key.startswith("unverified_"), key
     json.dumps(r)
+
+
+def test_prior_verified_reads_latest_bench_file(tmp_path, monkeypatch):
+    # _prior_verified picks the highest-round BENCH_r*.json whose parsed
+    # record scored, and skips unscored/corrupt files.
+    files = {
+        "BENCH_r01.json": {"n": 1, "parsed": {"value": 10.0,
+                                              "fused_fps": 10.0}},
+        "BENCH_r02.json": {"n": 2, "parsed": {"value": 20.5,
+                                              "fused_fps": 20.5,
+                                              "staged_fps": 18.0}},
+        "BENCH_r03.json": {"n": 3, "parsed": {"value": -1.0}},
+    }
+    for name, rec in files.items():
+        (tmp_path / name).write_text(json.dumps(rec))
+    (tmp_path / "BENCH_r04.json").write_text("{corrupt")
+    monkeypatch.setattr(bench.os.path, "dirname", lambda p: str(tmp_path))
+    out = bench._prior_verified()
+    assert out["source"] == "BENCH_r02.json"
+    assert out["unverified_fused_fps"] == 20.5
+    assert out["unverified_staged_fps"] == 18.0
+    assert "unverified_fused_ms" not in out
 
 
 def test_scored_record_omits_last_self_measured():
