@@ -183,6 +183,24 @@ def fuse_scene(model, masks, boxes, depths, classes, valid, bg_labels,
     return segs[0], ids[0]
 
 
+def _bg_depths_from_batch(batch) -> Optional[np.ndarray]:
+    """Optional per-scene background depth canvas for the composite's
+    z-buffer (fg_model.py:522-527, 563-566, 580-585). With a
+    ``background_depth_mask`` the masked-out pixels become unknown (the
+    reference's INTENT at :565-566 — its shipped code crashes on that
+    path with a (H, W)-mask-vs-(1, H, W) IndexError, so the intended
+    semantics are implemented here and the working depth-only path is
+    golden-pinned cross-framework)."""
+    bg_depths = batch["inputs"].get("background_depth")
+    if bg_depths is None:
+        return None
+    bgd = np.asarray(bg_depths, np.float32)
+    m = batch["inputs"].get("background_depth_mask")
+    if m is not None:
+        bgd = np.where(np.asarray(m, bool), bgd, -1.0)  # -> unknown (1e9)
+    return bgd
+
+
 def predict_panoptic(model, variables, batch) -> Dict[str, Any]:
     """Batched panoptic fusion. Returns seg (S, H, W) int64 panoptic maps in
     trainId·1000+inst space, plus per-scene instance ids/boxes/depths."""
@@ -203,7 +221,8 @@ def predict_panoptic(model, variables, batch) -> Dict[str, Any]:
     else:
         bg = np.full((s, IMG_H, IMG_W), 255, np.int64)
     segs, ids = fuse_scenes(
-        model, masks, boxes, depths, classes, valid, bg, panoptic=True
+        model, masks, boxes, depths, classes, valid, bg,
+        bg_depths=_bg_depths_from_batch(batch), panoptic=True
     )
     return {
         "seg": segs,
@@ -232,7 +251,8 @@ def predict_semantics(model, variables, batch) -> Dict[str, Any]:
     else:
         bg = np.full((s, IMG_H, IMG_W), 255, np.int64)
     segs, _ = fuse_scenes(
-        model, masks, boxes, depths, classes, valid, bg, panoptic=False
+        model, masks, boxes, depths, classes, valid, bg,
+        bg_depths=_bg_depths_from_batch(batch), panoptic=False
     )
     return {"seg": segs, "bbox": boxes, "depths": depths}
 

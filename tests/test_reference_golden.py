@@ -318,7 +318,7 @@ def test_fg_rollout_golden(ref):
 
 
 def _fusion_batches(seed=7, scene_sizes=(2, 3), t_in=3, t_out=3,
-                    with_scores=False):
+                    with_scores=False, with_bg_depth=False):
     """Shared scene-batch builder for the three fusion goldens: the SAME
     random scenes as (a) the reference's list-collated batch and (b) our
     dense padded batch. Two scenes with different instance counts exercise
@@ -356,6 +356,13 @@ def _fusion_batches(seed=7, scene_sizes=(2, 3), t_in=3, t_out=3,
     }
     if with_scores:
         ref_inputs["inst_scores"] = [t(s) for s in scores]
+    bg_depths = [
+        (rng.rand(1024, 2048) * 40 + 1).astype(np.float32)
+        for _ in scene_sizes
+    ]
+    if with_bg_depth:
+        # the reference mutates current_depths in place (:585) — clone
+        ref_inputs["background_depth"] = [t(d.copy()) for d in bg_depths]
 
     # ---- ours: dense padded scene batch ----
     n_max = max(scene_sizes)
@@ -396,6 +403,8 @@ def _fusion_batches(seed=7, scene_sizes=(2, 3), t_in=3, t_out=3,
     }
     if with_scores:
         batch["inputs"]["inst_scores"] = np.stack([pad(s) for s in scores])
+    if with_bg_depth:
+        batch["inputs"]["background_depth"] = np.stack(bg_depths)
     return ref_inputs, ref_labels, batch
 
 
@@ -419,6 +428,41 @@ def test_fusion_panoptic_golden(ref):
     # bilinear paste differs from grid_sample at ~1e-6; only pixels whose
     # mask prob sits exactly on the 0.5 threshold may flip.
     assert mismatch < 1e-4, f"panoptic maps differ on {mismatch:.2%} pixels"
+    for b in range(seg.shape[0]):
+        assert set(np.unique(seg[b])) == set(np.unique(ref_seg[b]))
+
+
+def test_fusion_panoptic_bgdepth_golden(ref):
+    """The composite's background-depth z-buffer path (fg_model.py:522-527,
+    580-585): instances paint only where strictly nearer than the bg depth
+    canvas, which updates as they land. Depth-only variant — the
+    reference's background_depth_mask path crashes in its own code
+    ((H, W) mask vs (1, H, W) tensor at :566), so only the working path
+    can be pinned cross-framework."""
+    rmodel, _ = _build_ref_fg(ref)
+    mine, variables = _my_fg(rmodel)
+    ref_inputs, ref_labels, batch = _fusion_batches(seed=17,
+                                                    with_bg_depth=True)
+    with torch.no_grad():
+        ref_res = rmodel.predict_panoptic(ref_inputs, ref_labels)
+    ref_seg = ref_res["seg"].numpy()
+
+    from panoptic_forecasting_tpu.eval import fusion
+
+    res = fusion.predict_panoptic(mine, variables, batch)
+    seg = np.asarray(res["seg"])
+
+    assert seg.shape == ref_seg.shape
+    # the z-buffer must actually bite: some instance pixels are occluded
+    # by the bg canvas vs the no-depth composite
+    no_depth = fusion.predict_panoptic(
+        mine, variables,
+        {**batch, "inputs": {k: v for k, v in batch["inputs"].items()
+                             if k != "background_depth"}},
+    )
+    assert (np.asarray(no_depth["seg"]) != seg).any()
+    mismatch = float((seg != ref_seg).mean())
+    assert mismatch < 1e-4, f"bg-depth maps differ on {mismatch:.2%} pixels"
     for b in range(seg.shape[0]):
         assert set(np.unique(seg[b])) == set(np.unique(ref_seg[b]))
 
