@@ -262,6 +262,14 @@ class FGInstanceDataset:
                 (r["city"], r["seq"], int(r["frame"])): i
                 for i, r in self.data3d.iterrows()
             }
+            # plain tuples per scene: pandas .iloc row materialization
+            # costs ~0.3 ms/call (interleaved_dtype) on the hot path
+            self._d3_rows = [
+                (np.asarray(r["odometry"], np.float32),
+                 np.asarray(r["times"], np.float64)
+                 if "times" in r else None)
+                for _, r in self.data3d.iterrows()
+            ]
         self.odom_pred_path = None
         if d.get("odom_pred_dir"):
             self.odom_pred_path = os.path.join(
@@ -284,6 +292,20 @@ class FGInstanceDataset:
                 self.expand_train, card, odometry=odom,
             )
 
+        # Hot-path row cache: plain dicts / arrays instead of pandas
+        # .iloc (whose mixed-dtype row materialization dominated the
+        # loader profile at ~0.85 ms/sample, scripts/prof_train_pipeline
+        # methodology — fg loader 242 -> ~400 tracks/s single-core).
+        self._rows = self.data.to_dict("records")
+        self._depth_col = [np.asarray(x) for x in self.depth_data["depth"]]
+        self._feat_ind_col = (
+            [np.asarray(x) for x in self.feats_meta["feat_ind"]]
+            if self.feats_meta is not None
+            else None
+        )
+        self._dset_cache: Dict[Tuple[str, str, int], Any] = {}
+        self._dset_pid = os.getpid()
+
         base = np.arange(0, 3 * self.seq_len, 3)
         if split == "train" and self.expand_train:
             start_inds = range(30 - 3 * (self.seq_len - 1))
@@ -293,7 +315,7 @@ class FGInstanceDataset:
             start_inds = [19 - 3 * (self.seq_len - 1)]
         self.index: List[Tuple[int, int, np.ndarray]] = []
         for idx in range(len(self.data)):
-            fm = np.asarray(self.data.iloc[idx]["feat_mask"])
+            fm = np.asarray(self._rows[idx]["feat_mask"])
             for s in start_inds:
                 inds = base + s
                 if np.any(fm[inds[: self.input_len]]) and np.any(
@@ -309,26 +331,45 @@ class FGInstanceDataset:
     def _load_feats(self, city, seq, frame, feat_inds) -> np.ndarray:
         if self.feats_h5 is None:
             return np.zeros((len(feat_inds), 256, 14, 14), np.float32)
-        dset = self.feats_h5[f"{city}/{seq}/{frame}"]
+        pid = os.getpid()
+        if pid != self._dset_pid:
+            # h5py handles (and their cached Datasets) don't survive fork
+            self._dset_cache.clear()
+            self._dset_pid = pid
+        key = (city, seq, int(frame))
+        dset = self._dset_cache.get(key)
+        if dset is None:
+            # memmap when contiguous (lock-free page-cache reads); the
+            # per-sample group-path walk alone cost ~0.3 ms before
+            dset = self._dset_cache[key] = self.feats_h5.mmap_dataset(
+                f"{city}/{seq}/{frame}"
+            )
         feats = np.zeros((len(feat_inds),) + dset.shape[1:], np.float32)
         valid = feat_inds != -1
         if valid.any():
-            feats[valid] = np.asarray(dset[list(feat_inds[valid])], np.float32)
+            vi = feat_inds[valid]
+            if len(vi) > 1 and np.all(np.diff(vi) == 1):
+                # consecutive run (one track's visible frames): a
+                # hyperslab read beats h5py fancy indexing
+                block = dset[int(vi[0]) : int(vi[-1]) + 1]
+            else:
+                block = dset[list(vi)]
+            feats[valid] = np.asarray(block, np.float32)
         return feats
 
     def _load_odometry(self, city, seq, frame, inds) -> Optional[np.ndarray]:
         if not self.use_3d_info:
             return None
-        rec = self.data3d.iloc[self._d3_index[(city, seq, int(frame))]]
+        odom_arr, times_arr = self._d3_rows[
+            self._d3_index[(city, seq, int(frame))]
+        ]
         if self.odom_pred_path is None:
-            return np.asarray(rec["odometry"], np.float32)[inds]
+            return odom_arr[inds]
         import h5py
 
-        inp = np.asarray(rec["odometry"], np.float32)[inds[: self.input_len]]
+        inp = odom_arr[inds[: self.input_len]]
         start_fr = int(inds[self.input_len - 1])
-        times = np.asarray(rec["times"], np.float64)[
-            int(inds[0]) : start_fr + 1
-        ]
+        times = times_arr[int(inds[0]) : start_fr + 1]
         avg_dt = float(np.mean(times[1:] - times[:-1]))
         with h5py.File(self.odom_pred_path, "r") as f:
             preds = f[f"{city}/{seq}/{frame}/{start_fr}"][:]
@@ -337,8 +378,7 @@ class FGInstanceDataset:
 
     def __getitem__(self, i: int) -> Dict[str, Any]:
         idx, start_fr, inds = self.index[i]
-        rec = self.data.iloc[idx]
-        drec = self.depth_data.iloc[idx]
+        rec = self._rows[idx]
         city, seq, frame = rec["city"], rec["seq"], int(rec["frame"])
         cl = int(rec["class"])
 
@@ -367,15 +407,15 @@ class FGInstanceDataset:
         )
         traj = np.concatenate([bboxes, vel], axis=-1)
 
-        depths = np.asarray(drec["depth"], np.float32)[inds][:, None]
+        depths = np.asarray(self._depth_col[idx], np.float32)[inds][:, None]
         depth_mask = _depth_valid(depths, self.max_depth)
         dvel = np.concatenate(
             [np.zeros((1, 1), np.float32), depths[1:] - depths[:-1]]
         )
         depths = np.concatenate([depths, dvel], axis=-1)
 
-        if self.feats_meta is not None:
-            feat_inds = np.asarray(self.feats_meta.iloc[idx]["feat_ind"])[inds]
+        if self._feat_ind_col is not None:
+            feat_inds = self._feat_ind_col[idx][inds]
         else:
             feat_inds = np.asarray(rec["feat_ind"])[inds]
         feats = self._load_feats(city, seq, frame, feat_inds)
@@ -657,14 +697,19 @@ class FGSceneDataset:
         depths = np.concatenate([depths, dvel], axis=-1)
 
         if self.feats_h5 is not None and n > 0:
-            dset = self.feats_h5[f"{city}/{seq}/{frame}"]
+            # memmap when contiguous: lock-free page-cache reads (same
+            # fast path as FGInstanceDataset._load_feats)
+            dset = self.feats_h5.mmap_dataset(f"{city}/{seq}/{frame}")
             feats = np.zeros((n, len(fr_inds)) + dset.shape[1:], np.float32)
             for k in range(n):
                 valid = feat_inds[k] != -1
                 if valid.any():
-                    feats[k][valid] = np.asarray(
-                        dset[list(feat_inds[k][valid])], np.float32
-                    )
+                    vi = feat_inds[k][valid]
+                    if len(vi) > 1 and np.all(np.diff(vi) == 1):
+                        block = dset[int(vi[0]) : int(vi[-1]) + 1]
+                    else:
+                        block = dset[list(vi)]
+                    feats[k][valid] = np.asarray(block, np.float32)
         else:
             feats = np.zeros((n, len(fr_inds), 256, 14, 14), np.float32)
 

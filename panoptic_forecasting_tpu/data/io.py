@@ -276,6 +276,25 @@ class LazyH5:
     def __getitem__(self, key):
         return self.handle()[key]
 
+    def mmap_dataset(self, key):
+        """np.memmap view of a CONTIGUOUS uncompressed dataset — reads
+        become plain page-cache memcpys, bypassing h5py's global lock and
+        per-call overhead (the fg ROI-feature read dominated the loader
+        profile; scripts/prof_train_pipeline methodology). Falls back to
+        the live h5py dataset for chunked/compressed layouts."""
+        import h5py
+
+        d = self.handle()[key]
+        try:
+            if d.id.get_create_plist().get_layout() == h5py.h5d.CONTIGUOUS:
+                off = d.id.get_offset()
+                if off is not None and off >= 0:
+                    return np.memmap(self.path, dtype=d.dtype, mode="r",
+                                     offset=off, shape=d.shape)
+        except Exception:
+            pass
+        return d
+
     def close(self):
         if self._fh is not None:
             try:
