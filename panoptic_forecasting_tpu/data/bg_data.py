@@ -66,6 +66,8 @@ class BGDataset:
         card.num_classes = self.num_classes
 
         self.depth_h5 = None
+        self._depth_dset_cache: Dict[str, Any] = {}
+        self._depth_dset_pid = os.getpid()
         if self.use_depths:
             self.depth_h5 = LazyH5(d["depth_h5_path"] % split)
         # Default: ship the RAW uint16 depth block and decode it on the
@@ -140,10 +142,23 @@ class BGDataset:
         """Per-epoch augmentation reseed (called by Loader.set_epoch)."""
         self._epoch_seed = int(epoch)
 
+    def _raw_depth_block(self, city, seq, frame, start_fr) -> np.ndarray:
+        """(H, W, T) raw uint16 block — memmap'd (lock-free page-cache
+        read) when the dataset is contiguous, pid-guarded like the fg
+        feats cache."""
+        pid = os.getpid()
+        if pid != self._depth_dset_pid:
+            self._depth_dset_cache.clear()
+            self._depth_dset_pid = pid
+        key = f"{city}/{seq}/{frame:06d}/{start_fr}"
+        d = self._depth_dset_cache.get(key)
+        if d is None:
+            d = self._depth_dset_cache[key] = self.depth_h5.mmap_dataset(key)
+        return np.asarray(d[:])
+
     def _load_depth_block(self, city, seq, frame, start_fr) -> np.ndarray:
         """(H, W, T) decoded clamped depths (−1 invalid)."""
-        key = f"{city}/{seq}/{frame:06d}/{start_fr}"
-        raw = self.depth_h5[key][:]
+        raw = self._raw_depth_block(city, seq, frame, start_fr)
         dep = raw.astype(np.float32) / 256.0 - 1.0
         mask = dep > 0
         dep = np.where(mask, np.clip(dep, self.min_depth, self.max_depth), -1.0)
@@ -166,8 +181,8 @@ class BGDataset:
             if self.host_depth_decode:
                 arrs.append(self._load_depth_block(city, seq, frame, start_fr))
             else:
-                key = f"{city}/{seq}/{frame:06d}/{start_fr}"
-                arrs.append(self.depth_h5[key][:])  # raw (H, W, T) uint16
+                # raw (H, W, T) uint16; decoded in-graph
+                arrs.append(self._raw_depth_block(city, seq, frame, start_fr))
 
         rng = np.random.RandomState(
             (hash((idx, self._epoch_seed)) & 0x7FFFFFFF)

@@ -251,6 +251,7 @@ class LazyH5:
         self._fh = None
         self._pid: Optional[int] = None
         self._lock = threading.Lock()
+        self._mm = None  # shared whole-file mapping for mmap_dataset
 
     def handle(self):
         import h5py
@@ -267,7 +268,7 @@ class LazyH5:
         return self._fh
 
     def __getstate__(self):
-        # Handles and locks don't pickle; reopen lazily after transport.
+        # Handles, locks, and mappings don't pickle; reopen lazily.
         return {"path": self.path}
 
     def __setstate__(self, state):
@@ -277,11 +278,15 @@ class LazyH5:
         return self.handle()[key]
 
     def mmap_dataset(self, key):
-        """np.memmap view of a CONTIGUOUS uncompressed dataset — reads
-        become plain page-cache memcpys, bypassing h5py's global lock and
-        per-call overhead (the fg ROI-feature read dominated the loader
-        profile; scripts/prof_train_pipeline methodology). Falls back to
-        the live h5py dataset for chunked/compressed layouts."""
+        """Zero-copy numpy view of a CONTIGUOUS uncompressed dataset —
+        reads become plain page-cache memcpys, bypassing h5py's global
+        lock and per-call overhead (the fg ROI-feature read dominated the
+        loader profile; scripts/prof_train_pipeline methodology). All
+        datasets share ONE whole-file mapping (a fresh np.memmap per
+        dataset would hold one fd per scene — fd exhaustion at Cityscapes
+        scale); the inherited mapping stays valid across fork for reads.
+        Falls back to the live h5py dataset for chunked/compressed
+        layouts."""
         import h5py
 
         d = self.handle()[key]
@@ -289,8 +294,22 @@ class LazyH5:
             if d.id.get_create_plist().get_layout() == h5py.h5d.CONTIGUOUS:
                 off = d.id.get_offset()
                 if off is not None and off >= 0:
-                    return np.memmap(self.path, dtype=d.dtype, mode="r",
-                                     offset=off, shape=d.shape)
+                    if self._mm is None:
+                        import mmap as _mmap
+
+                        with self._lock:
+                            if self._mm is None:
+                                with open(self.path, "rb") as f:
+                                    mm = _mmap.mmap(
+                                        f.fileno(), 0,
+                                        access=_mmap.ACCESS_READ,
+                                    )
+                                self._mm = np.frombuffer(mm, np.uint8)
+                    return (
+                        self._mm[off : off + d.nbytes]
+                        .view(d.dtype)
+                        .reshape(d.shape)
+                    )
         except Exception:
             pass
         return d
