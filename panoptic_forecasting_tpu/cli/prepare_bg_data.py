@@ -16,10 +16,21 @@ matching what BGDataset reads (data/bg_data.py; reference
 bg_dataset.py:183-190, 224-228). Output labels are converted
 labelId→trainId so the 11-class stuff one-hot sees trainIds.
 
+Throughput knobs (these are OUR OWN training artifacts — the format is
+an internal interface, not reference protocol):
+  * ``bg_out_format: npy`` writes the seg maps as raw ``.npy`` instead
+    of PNG — the training loader then memory-maps them (zero decode;
+    PNG decode is ~75% of the bg sample cost after the depth fixes,
+    docs/perf_notes.md) at ~20x the disk footprint.
+  * ``bg_depth_compression: gzip`` re-enables h5 gzip (the default is
+    uncompressed/contiguous so the loader's shared-mmap fast path
+    applies — consistent with the reference's own artifact name,
+    ``depths_DECOMPRESSED_{split}.h5``).
+
 Usage:
     python -m panoptic_forecasting_tpu.cli.prepare_bg_data \
         --working_dir DIR --config_file configs/pc_transform/pc_export.yaml \
-        --set bg_out DIR [--set data.gap_len 3]
+        --set bg_out DIR [--set data.gap_len 3] [--set bg_out_format npy]
 """
 
 from __future__ import annotations
@@ -43,6 +54,11 @@ def prepare_split(task_data, split, cfg, out_dir: str) -> None:
     gap = int(cfg.get("data", {}).get("gap_len", 9))
     start_fr = int((9 - gap) / 3)
     lut = id_to_train_id_lut()
+    fmt = cfg.get("bg_out_format", "png")
+    depth_comp = cfg.get("bg_depth_compression", "none")
+    h5_kw = {} if depth_comp in ("none", None, False) else {
+        "compression": depth_comp
+    }
     h5_path = os.path.join(out_dir, f"depths_decompressed_{split}.h5")
     os.makedirs(out_dir, exist_ok=True)
     with h5py.File(h5_path, "a") as h5:
@@ -69,13 +85,14 @@ def prepare_split(task_data, split, cfg, out_dir: str) -> None:
                     tgt = int(meta["target_frame"][i]) if "target_frame" in meta else frame
                     name = f"{city}_{seq}_{tgt:06d}"
                     seg_train = lut[np.clip(segs[i], 0, 255)].astype(np.uint8)
-                    save_png(
-                        os.path.join(
-                            seg_root, city, f"{name}_gtFine_labelIds.png"
-                        ),
-                        seg_train,
-                        **PNG_IDS,
+                    base = os.path.join(
+                        seg_root, city, f"{name}_gtFine_labelIds"
                     )
+                    if fmt == "npy":
+                        os.makedirs(os.path.dirname(base), exist_ok=True)
+                        np.save(base + ".npy", seg_train)
+                    else:
+                        save_png(base + ".png", seg_train, **PNG_IDS)
                     key = f"{city}/{seq}/{frame:06d}/{start_fr}"
                     enc = np.where(
                         deps[i] > 0,
@@ -87,7 +104,7 @@ def prepare_split(task_data, split, cfg, out_dir: str) -> None:
                             key,
                             shape=enc.shape + (3,),
                             dtype=np.uint16,
-                            compression="gzip",
+                            **h5_kw,
                         )
                     h5[key][:, :, ind] = enc
                     n += 1

@@ -92,6 +92,18 @@ class BGDataset:
                     self.samples.append(
                         (gt_file, files, c, seq, frame, 19, start_fr)
                     )
+        # prepare_bg_data's optional raw .npy seg format (zero-decode,
+        # mmap-able — cli/prepare_bg_data.py bg_out_format): detected by
+        # the first sample; a tree mixes formats never.
+        self.seg_npy = bool(self.samples) and (
+            not os.path.exists(self.samples[0][1][0])
+            and os.path.exists(self.samples[0][1][0][:-4] + ".npy")
+        )
+        if self.seg_npy:
+            self.samples = [
+                (gt, [f[:-4] + ".npy" for f in files], c, s, fr, t, sf)
+                for gt, files, c, s, fr, t, sf in self.samples
+            ]
 
         # depth normalization stats (train only)
         if split == "train" and not test and self.use_depths:
@@ -174,8 +186,12 @@ class BGDataset:
         # device — at full res the int32 conversions alone cost ~15 ms of
         # the 120 ms sample (scripts/prof_train_pipeline.py).
         gt = load_png(gt_file)
-        # one triplet shares geometry -> native threaded batch decode
-        segs = list(load_png_batch(files))
+        if self.seg_npy:
+            # zero-decode mmap views; the crop touches only its pages
+            segs = [np.load(f, mmap_mode="r") for f in files]
+        else:
+            # one triplet shares geometry -> native threaded batch decode
+            segs = list(load_png_batch(files))
         arrs = []
         if self.use_depths:
             if self.host_depth_decode:

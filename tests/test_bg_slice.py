@@ -140,6 +140,48 @@ def test_bg_model_input_assembly_channel_order(bg_cfg):
     assert float(full[0, 0, 0, 11 + 2]) == 1.0  # t1 class2
 
 
+def test_bg_npy_seg_format_matches_png(bg_cfg, tmp_path):
+    """prepare_bg_data's raw .npy seg format (zero-decode mmap reads)
+    must yield bit-identical samples to the PNG tree."""
+    import copy
+    import glob
+    import os
+    import shutil
+
+    from PIL import Image
+
+    png_root = bg_cfg["data"]["data_dir"][0]
+    base = os.path.dirname(png_root)  # the bg fixture root (pc_ind* parent)
+    npy_base = str(tmp_path / "npy_tree")
+    shutil.copytree(base, npy_base)
+    cfg_npy = copy.deepcopy(bg_cfg)
+    cfg_npy["data"]["data_dir"] = [
+        d.replace(base, npy_base) for d in bg_cfg["data"]["data_dir"]
+    ]
+    cfg_npy["data"]["gt_dir"] = bg_cfg["data"]["gt_dir"]
+    n_conv = 0
+    for d in cfg_npy["data"]["data_dir"]:
+        for p in glob.glob(os.path.join(d, "*", "*", "*_gtFine_labelIds.png")):
+            np.save(p[:-4] + ".npy", np.array(Image.open(p)))
+            os.remove(p)
+            n_conv += 1
+    assert n_conv > 0
+    data_png = build_dataset(bg_cfg)
+    data_npy = build_dataset(cfg_npy)
+    assert data_npy.datasets["train"].seg_npy
+    assert not data_png.datasets["train"].seg_npy
+    for split in ("train", "val"):
+        for i in range(len(data_png.datasets[split])):
+            a = data_png.datasets[split][i]
+            b = data_npy.datasets[split][i]
+            np.testing.assert_array_equal(
+                a["inputs"]["seg"], b["inputs"]["seg"]
+            )
+            np.testing.assert_array_equal(
+                a["labels"]["seg"], b["labels"]["seg"]
+            )
+
+
 def test_bg_raw_depth_device_decode_matches_host(bg_cfg):
     """The loader's default RAW-uint16 depth path (decoded in-graph by
     BGModel._prep_inputs) must be bit-identical to the host-decoded float
