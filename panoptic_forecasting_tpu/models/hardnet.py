@@ -164,6 +164,71 @@ def _space_to_depth_conv(x, w, bias, dtype):
     return out
 
 
+def _pack_s1_weights(w, bias):
+    """3×3 stride-1 conv weights re-expressed over 2×2-packed space.
+
+    With (H, W, C) packed to (H/2, W/2, 4C) (phase-major channel layout:
+    ``(row_phase·2 + col_phase)·C + c``), the stride-1 conv becomes a 3×3
+    conv over packed blocks producing all 4 output phases at once:
+    output phase (ph, pw) at packed (a, b) is the original output pixel
+    (2a+ph, 2b+pw), whose 3×3 support rows 2a+ph−1..2a+ph+1 live in
+    packed blocks a−1..a+1 at row-phase (ph+dr−1) mod 2. Same math,
+    4× the MACs (the MXU does not skip the structural zeros) — but the
+    channel axis grows 4×, which is what makes XLA's conv emitter stop
+    relayouting every small-channel tensor (docs/perf_notes.md round 5).
+    """
+    c_in, c_out = w.shape[2], w.shape[3]
+    wp = jnp.zeros((3, 3, 4 * c_in, 4 * c_out), w.dtype)
+    for ph in (0, 1):
+        for pw_ in (0, 1):
+            oc = (ph * 2 + pw_) * c_out
+            for dr in range(3):
+                r_off = ph + dr - 1
+                u, qr = r_off // 2 + 1, r_off % 2
+                for dc in range(3):
+                    c_off = pw_ + dc - 1
+                    v, qc = c_off // 2 + 1, c_off % 2
+                    ic = (qr * 2 + qc) * c_in
+                    wp = wp.at[u, v, ic : ic + c_in, oc : oc + c_out].add(
+                        w[dr, dc]
+                    )
+    bias_p = jnp.tile(bias, 4) if bias is not None else None
+    return wp, bias_p
+
+
+def _prepacked_s2d_weights(w):
+    """3×3 stride-2 conv weights over ALREADY-packed input (2×2 conv).
+
+    The weight re-indexing of ``_space_to_depth_conv`` without the input
+    packing step: output pixel (i, j) of the stride-2/pad-1 conv reads
+    rows 2i−1..2i+1 == packed blocks i−1..i at row-phase (2p+dr−1) mod 2.
+    Output is at half resolution, UNPACKED — consuming packed input with
+    this conv is what lets the packed stem section end with zero unpack
+    relayout."""
+    c_in, c_out = w.shape[2], w.shape[3]
+    w2 = jnp.zeros((2, 2, 4 * c_in, c_out), w.dtype)
+    for p in (0, 1):
+        for dr in (0, 1):
+            r = 2 * p + dr - 1
+            if not 0 <= r <= 2:
+                continue
+            for q in (0, 1):
+                for dc in (0, 1):
+                    cc = 2 * q + dc - 1
+                    if not 0 <= cc <= 2:
+                        continue
+                    sl = (dr * 2 + dc) * c_in
+                    w2 = w2.at[p, q, sl : sl + c_in, :].set(w[r, cc])
+    return w2
+
+
+def pack_space2(x):
+    """(B, H, W, C) → (B, H/2, W/2, 4C), phase-major channel layout."""
+    b, h, w, c = x.shape
+    xp = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return xp.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
 class _ConvParams(nn.Module):
     """Declares conv params with nn.Conv's exact tree/shape/init so this
     layer's variables stay interchangeable with an nn.Conv("conv")."""
@@ -206,12 +271,19 @@ class ConvLayer(nn.Module):
     dtype: Any = jnp.float32
     folded: bool = False
     s2d: bool = False
+    # Input arrives 2×2-packed (pack_space2 layout). Params are declared
+    # at the LOGICAL (unpacked) shape so folded variables stay
+    # interchangeable with the plain layer; the packed-space weight
+    # transform is applied at trace time. stride-1 stays packed; stride-2
+    # consumes the packed blocks and emits unpacked half-res output.
+    packed_in: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         p = self.kernel // 2
+        in_feat = x.shape[-1] // 4 if self.packed_in else x.shape[-1]
         k, b = _ConvParams(
-            self.out_channels, self.kernel, x.shape[-1], self.folded,
+            self.out_channels, self.kernel, in_feat, self.folded,
             name="conv",
         )()
         use_s2d = (
@@ -221,7 +293,27 @@ class ConvLayer(nn.Module):
             and x.shape[-3] % 2 == 0
             and x.shape[-2] % 2 == 0
         )
-        if use_s2d:
+        if self.packed_in:
+            assert self.kernel == 3 and self.stride in (1, 2)
+            if self.stride == 1:
+                wp, bp = _pack_s1_weights(k, b)
+                x = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), wp.astype(self.dtype), (1, 1),
+                    ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                if bp is not None:
+                    x = x + bp.astype(self.dtype)
+            else:
+                w2 = _prepacked_s2d_weights(k)
+                x = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), w2.astype(self.dtype), (1, 1),
+                    ((1, 0), (1, 0)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                if b is not None:
+                    x = x + b.astype(self.dtype)
+        elif use_s2d:
             x = _space_to_depth_conv(x.astype(self.dtype), k, b, self.dtype)
         else:
             x = jax.lax.conv_general_dilated(
@@ -300,6 +392,12 @@ class HarDNet(nn.Module):
     # the fused one-hot Pallas stem (kernels/stem.py) — base_0 is skipped
     # (its params in the variables dict are simply unused).
     skip_stem0: bool = False
+    # Run base_1/base_2 over 2×2-packed space (channels 64/96 instead of
+    # 16/24): the fat channel axis stops XLA's conv emitter relayouting
+    # every high-res tensor (~1 ms/frame of copies at 1024×2048,
+    # docs/perf_notes.md round 5). Bit-equal math up to f32 reassociation;
+    # requires skip_stem0 (the packed path starts at the stem output).
+    packed_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -319,11 +417,15 @@ class HarDNet(nn.Module):
             x = ConvLayer(self.first_ch[0], kernel=3, stride=2,
                           dtype=self.dtype, folded=self.folded,
                           s2d=self.stem_s2d, name="base_0")(x, train)
+        packed = self.packed_stem and self.skip_stem0
+        if packed:
+            x = pack_space2(x)
         x = ConvLayer(self.first_ch[1], kernel=3, dtype=self.dtype,
-                      folded=self.folded, name="base_1")(x, train)
+                      folded=self.folded, packed_in=packed,
+                      name="base_1")(x, train)
         x = ConvLayer(self.first_ch[2], kernel=3, stride=2, dtype=self.dtype,
                       folded=self.folded, s2d=self.stem_s2d,
-                      name="base_2")(x, train)
+                      packed_in=packed, name="base_2")(x, train)
         x = ConvLayer(self.first_ch[3], kernel=3, dtype=self.dtype,
                       folded=self.folded, name="base_3")(x, train)
 

@@ -270,6 +270,49 @@ def test_bg_bf16_compute_dtype():
     assert out.dtype == jnp.float32
 
 
+def test_hardnet_packed_stem_matches_plain():
+    """packed_stem (2×2 space-to-depth base_1/base_2) == plain path.
+
+    The packed-space weight transforms (_pack_s1_weights /
+    _prepacked_s2d_weights) are exact re-indexings of the same conv sums;
+    logits must agree to f32-reassociation tolerance and the argmax must
+    be identical (docs/perf_notes.md round 5 layout experiment)."""
+    import jax
+    import numpy as np
+
+    from panoptic_forecasting_tpu.models.hardnet import (
+        HarDNet,
+        fold_batchnorm_variables,
+    )
+
+    rng = np.random.RandomState(0)
+    net = HarDNet(n_classes=7)
+    v = jax.eval_shape(
+        net.init, jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 12))
+    )
+    v = jax.tree_util.tree_map(
+        lambda s: jnp.asarray(rng.randn(*s.shape).astype(s.dtype) * 0.05), v
+    )
+    v = jax.tree_util.tree_map_with_path(
+        lambda path, x: jnp.abs(x) + 0.5
+        if any(getattr(k, "key", None) == "var" for k in path) else x,
+        v,
+    )
+    vf = fold_batchnorm_variables(v)
+    x0 = jnp.asarray(rng.randn(1, 64, 128, 16).astype(np.float32))
+    plain = HarDNet(n_classes=7, folded=True, skip_stem0=True)
+    packed = HarDNet(n_classes=7, folded=True, skip_stem0=True,
+                     packed_stem=True)
+    a = plain.apply(vf, x0)
+    b = packed.apply(vf, x0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(plain.apply(vf, x0, return_argmax=True)),
+        np.asarray(packed.apply(vf, x0, return_argmax=True)),
+    )
+
+
 def test_bg_fold_inference_matches(bg_cfg):
     """fold_batchnorm_variables + folded graph == standard predict
     (v2_transform capability: no BN ops in the inference graph)."""
