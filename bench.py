@@ -257,7 +257,8 @@ def measure_tpu_stages(k: int = K) -> dict:
         fold_batchnorm_variables,
     )
 
-    net_f = HarDNet(n_classes=11, folded=True, skip_stem0=True)
+    net_f = HarDNet(n_classes=11, folded=True, skip_stem0=True,
+                    packed_stem=True)  # BGModel's serving default (r05)
     bg_vars_f = fold_batchnorm_variables(bg_vars)
     from panoptic_forecasting_tpu.kernels.stem import onehot_stem_conv
 

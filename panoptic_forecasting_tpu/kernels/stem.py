@@ -174,13 +174,13 @@ def _pick_r(w: int, bh: int) -> int:
     jax.jit,
     static_argnames=(
         "num_classes", "block_rows", "slab_rows", "interpret", "relu",
-        "debug_skip",
+        "debug_skip", "packed_out",
     ),
 )
 def onehot_stem_conv(seg, depth, kernel, bias, *, num_classes: int,
                      block_rows: int = 0, slab_rows: int = 0,
                      interpret: bool = False, relu: bool = True,
-                     debug_skip: str = ""):
+                     debug_skip: str = "", packed_out: bool = False):
     """relu(conv3x3_stride2(assemble(seg, depth)) + bias) without ever
     materializing the one-hot input.
 
@@ -197,6 +197,13 @@ def onehot_stem_conv(seg, depth, kernel, bias, *, num_classes: int,
 
     Returns (B, H/2, W/2, c_out) f32, identical to
     ``relu(lax.conv(assembled, kernel, stride 2, padding 1) + bias)``.
+
+    ``packed_out=True`` instead returns the 2×2-packed
+    (B, H/4, W/4, 4·c_out) layout of ``hardnet.pack_space2`` (phase-major
+    channels) for HarDNet's ``packed_stem`` path — the pack rides the
+    SAME single XLA relayout the plain epilogue already pays (slice +
+    transpose fused into one copy) instead of a second full-res
+    transpose after it.
     """
     b, n_t, h, w = seg.shape
     assert h % 2 == 0 and w % 2 == 0, (h, w)
@@ -288,6 +295,13 @@ def onehot_stem_conv(seg, depth, kernel, bias, *, num_classes: int,
         scratch_shapes=[pltpu.VMEM((k_pad, r_rows * w), jnp.float32)],
         interpret=interpret,
     )(seg_b, dep_b, wmat, bcol)
+    if packed_out:
+        # full-width col x = 4j + 2·pw + e (e = dropped odd column),
+        # row y = 2a + ph: one slice+transpose yields the packed layout.
+        assert h2 % 2 == 0 and w % 4 == 0, (h2, w)
+        o = out.reshape(b, c_out, h2 // 2, 2, w // 4, 2, 2)[..., 0]
+        o = o.transpose(0, 2, 4, 3, 5, 1)  # (b, a, j, ph, pw, c)
+        return o.reshape(b, h2 // 2, w // 4, 4 * c_out)
     # full-width stride-1 rows -> keep even columns -> NHWC for base_1
     return (
         out.reshape(b, c_out, h2, w)[..., 0::2].transpose(0, 2, 3, 1)

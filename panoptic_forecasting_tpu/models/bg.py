@@ -71,9 +71,14 @@ class BGModel(TaskModel):
         # 'auto' runs the fused one-hot Pallas stem (kernels/stem.py) for
         # folded inference on TPU; True forces it, False disables.
         self.stem_kernel = m.get("stem_kernel", "auto")
+        # packed_stem runs base_1/base_2 over 2×2-packed space (64/96
+        # channels): measured 1.05× on the v5e serving stage (XLA stops
+        # relayouting the 16/24-channel high-res tensors; argmax
+        # bit-identical, docs/perf_notes.md round 5).
         self._folded_nostem_module = HarDNet(
             n_classes=self.num_classes, dtype=self.compute_dtype,
             folded=True, skip_stem0=True,
+            packed_stem=bool(m.get("packed_stem", True)),
         )
 
     # -- inference-time conv+BN folding (v2_transform capability) ----------

@@ -404,7 +404,14 @@ class HarDNet(nn.Module):
                  final_size: Optional[Tuple[int, int]] = None,
                  return_orig_size: bool = False,
                  return_argmax: bool = False):
-        if self.skip_stem0:
+        pre_packed = (
+            self.packed_stem
+            and self.skip_stem0
+            and x.shape[-1] == 4 * self.first_ch[0]
+        )
+        if pre_packed:  # stem kernel emitted pack_space2 layout directly
+            size_in = (x.shape[-3] * 4, x.shape[-2] * 4)
+        elif self.skip_stem0:
             size_in = (x.shape[-3] * 2, x.shape[-2] * 2)
         else:
             size_in = (x.shape[-3], x.shape[-2])
@@ -417,8 +424,10 @@ class HarDNet(nn.Module):
             x = ConvLayer(self.first_ch[0], kernel=3, stride=2,
                           dtype=self.dtype, folded=self.folded,
                           s2d=self.stem_s2d, name="base_0")(x, train)
-        packed = self.packed_stem and self.skip_stem0
-        if packed:
+        packed = self.packed_stem and self.skip_stem0 and (
+            pre_packed or (x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0)
+        )
+        if packed and not pre_packed:
             x = pack_space2(x)
         x = ConvLayer(self.first_ch[1], kernel=3, dtype=self.dtype,
                       folded=self.folded, packed_in=packed,

@@ -53,7 +53,7 @@ seg = jnp.asarray(rng.randint(0, 12, (1, 3, H, W)).astype(np.int32))
 dep = jnp.asarray((rng.rand(1, 3, H, W) * 50).astype(np.float32))
 
 
-def bg_step(**net_kw):
+def bg_step(packed_out=False, **net_kw):
     net = HarDNet(n_classes=11, folded=True, skip_stem0=True, **net_kw)
 
     def step(x, s):
@@ -62,7 +62,7 @@ def bg_step(**net_kw):
         dn = (dep + 0.001 * s - 30.0) / 20.0
         p0 = vars_f["params"]["base_0"]["conv"]
         y0 = onehot_stem_conv(seg, dn, p0["kernel"], p0["bias"],
-                              num_classes=11)
+                              num_classes=11, packed_out=packed_out)
         return net.apply(vars_f, y0, return_argmax=True)
 
     return step
@@ -77,7 +77,10 @@ def timed(label, body, args):
 x = (seg, dep)
 plain = timed("bg_plain", bg_step(), (x,))
 packed = timed("bg_packed_stem", bg_step(packed_stem=True), (x,))
-print(f"speedup: {plain / packed:.3f}x", flush=True)
+kpacked = timed("bg_packed_kernel_out",
+                bg_step(packed_out=True, packed_stem=True), (x,))
+print(f"speedup xla-pack: {plain / packed:.3f}x  "
+      f"kernel-pack: {plain / kpacked:.3f}x", flush=True)
 
 # Full-res argmax agreement.
 p0 = vars_f["params"]["base_0"]["conv"]
@@ -95,7 +98,7 @@ print("argmax flip fraction:", float((a != b).mean()), flush=True)
 if "--trace" in sys.argv:
     out = "/tmp/pf_bg_pack_trace"
     os.makedirs(out, exist_ok=True)
-    run = scan_loop(bg_step(packed_stem=True))
+    run = scan_loop(bg_step(packed_out=True, packed_stem=True))
     jax.profiler.start_trace(out)
     run(x, jnp.float32(1.0)).block_until_ready()
     import time

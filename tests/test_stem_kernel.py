@@ -45,6 +45,25 @@ def test_stem_kernel_matches_reference(b, t, h, w, c, c_out):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_stem_kernel_packed_out():
+    """packed_out returns exactly pack_space2(plain output) — the
+    phase-major 2×2-packed layout HarDNet's packed_stem path consumes."""
+    from panoptic_forecasting_tpu.models.hardnet import pack_space2
+
+    rng = np.random.RandomState(3)
+    seg, depth, kern, bias = _rand_case(rng, 2, 3, 32, 64, 7, 16)
+    plain = onehot_stem_conv(
+        seg, depth, kern, bias, num_classes=7, interpret=True
+    )
+    packed = onehot_stem_conv(
+        seg, depth, kern, bias, num_classes=7, interpret=True,
+        packed_out=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(packed), np.asarray(pack_space2(plain))
+    )
+
+
 def test_stem_kernel_no_depth():
     rng = np.random.RandomState(7)
     seg, _, kern, bias = _rand_case(
