@@ -71,14 +71,17 @@ class BGModel(TaskModel):
         # 'auto' runs the fused one-hot Pallas stem (kernels/stem.py) for
         # folded inference on TPU; True forces it, False disables.
         self.stem_kernel = m.get("stem_kernel", "auto")
-        # packed_stem runs base_1/base_2 over 2×2-packed space (64/96
-        # channels): measured 1.05× on the v5e serving stage (XLA stops
-        # relayouting the 16/24-channel high-res tensors; argmax
-        # bit-identical, docs/perf_notes.md round 5).
+        # The packed serving pipeline runs the high-res small-channel
+        # sections (base_1..base_5+pool, and the last decoder stage +
+        # finalConv) over 2×2-packed space — 4× the channels stops XLA's
+        # conv emitter relayouting every tensor: 9.64 → 7.59 ms on the
+        # v5e serving stage, argmax bit-identical (docs/perf_notes.md
+        # round 5). ``model.packed_stem: false`` restores the plain path.
+        pk = bool(m.get("packed_stem", True))
         self._folded_nostem_module = HarDNet(
             n_classes=self.num_classes, dtype=self.compute_dtype,
             folded=True, skip_stem0=True,
-            packed_stem=bool(m.get("packed_stem", True)),
+            packed_stem=pk, packed_block1=pk, packed_up3=pk,
         )
 
     # -- inference-time conv+BN folding (v2_transform capability) ----------

@@ -105,6 +105,25 @@ def resize_bilinear_align_corners(x: jnp.ndarray, size: Tuple[int, int]):
     return x
 
 
+def resize_bilinear_packed_out(x: jnp.ndarray, size: Tuple[int, int]):
+    """align_corners resize of (..., H, W, C) emitting the 2×2-packed
+    (..., H_out/2, W_out/2, 4C) layout directly: the packed output's
+    phase (ph, pw) rows are just the odd/even rows of the interp
+    matrices, so packing costs 4 quarter-size einsums instead of a
+    full-size relayout after the resize."""
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = size
+    assert h_out % 2 == 0 and w_out % 2 == 0, size
+    rh = _interp_matrix(h_in, h_out, x.dtype)
+    rw = _interp_matrix(w_in, w_out, x.dtype)
+    outs = []
+    for ph in (0, 1):
+        xh = jnp.einsum("oh,...hwc->...owc", rh[ph::2], x)
+        for pw in (0, 1):
+            outs.append(jnp.einsum("ow,...hwc->...hoc", rw[pw::2], xh))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def resize_bilinear_hw(x: jnp.ndarray, size: Tuple[int, int]):
     """Same align_corners resize on channels-leading (..., H, W) arrays.
 
@@ -164,7 +183,22 @@ def _space_to_depth_conv(x, w, bias, dtype):
     return out
 
 
-def _pack_s1_weights(w, bias):
+def _seg_scatter(wp, u, v, q, oc, c_out, w_tap, segments):
+    """Place logical-channel rows of one kernel tap into the packed
+    kernel, honouring the segment layout of a CONCAT of packed tensors:
+    segment m's phase-q channels live at ``4·Σc_<m + q·c_m``."""
+    base = lg = 0
+    for cm in segments:
+        ic = base + q * cm
+        wp = wp.at[u, v, ic : ic + cm, oc : oc + c_out].add(
+            w_tap[lg : lg + cm]
+        )
+        base += 4 * cm
+        lg += cm
+    return wp
+
+
+def _pack_s1_weights(w, bias, segments=None):
     """3×3 stride-1 conv weights re-expressed over 2×2-packed space.
 
     With (H, W, C) packed to (H/2, W/2, 4C) (phase-major channel layout:
@@ -176,8 +210,14 @@ def _pack_s1_weights(w, bias):
     4× the MACs (the MXU does not skip the structural zeros) — but the
     channel axis grows 4×, which is what makes XLA's conv emitter stop
     relayouting every small-channel tensor (docs/perf_notes.md round 5).
+
+    ``segments`` describes the input as a channel-concat of independently
+    packed tensors (HarDBlock link concats): logical sizes, summing to
+    the kernel's C_in.
     """
     c_in, c_out = w.shape[2], w.shape[3]
+    segments = tuple(segments) if segments else (c_in,)
+    assert sum(segments) == c_in, (segments, c_in)
     wp = jnp.zeros((3, 3, 4 * c_in, 4 * c_out), w.dtype)
     for ph in (0, 1):
         for pw_ in (0, 1):
@@ -188,10 +228,47 @@ def _pack_s1_weights(w, bias):
                 for dc in range(3):
                     c_off = pw_ + dc - 1
                     v, qc = c_off // 2 + 1, c_off % 2
-                    ic = (qr * 2 + qc) * c_in
-                    wp = wp.at[u, v, ic : ic + c_in, oc : oc + c_out].add(
-                        w[dr, dc]
-                    )
+                    wp = _seg_scatter(wp, u, v, qr * 2 + qc, oc, c_out,
+                                      w[dr, dc], segments)
+    bias_p = jnp.tile(bias, 4) if bias is not None else None
+    return wp, bias_p
+
+
+def _pack_s2_weights(w, bias, segments=None):
+    """3×3 stride-2 conv weights, packed input AND packed output.
+
+    Output phase (ph, pw) of packed output block a is original output
+    pixel (2a+ph, ·), whose stride-2 3×3 support rows 2(2a+ph)−1..+1 sit
+    in packed input blocks 2a−1..2a+1 — a 3×3 conv over the packed grid
+    with stride 2, padding 1."""
+    c_in, c_out = w.shape[2], w.shape[3]
+    segments = tuple(segments) if segments else (c_in,)
+    assert sum(segments) == c_in, (segments, c_in)
+    wp = jnp.zeros((3, 3, 4 * c_in, 4 * c_out), w.dtype)
+    for ph in (0, 1):
+        for pw_ in (0, 1):
+            oc = (ph * 2 + pw_) * c_out
+            for dr in range(3):
+                r_off = 2 * ph + dr - 1
+                u, qr = r_off // 2 + 1, r_off % 2
+                for dc in range(3):
+                    c_off = 2 * pw_ + dc - 1
+                    v, qc = c_off // 2 + 1, c_off % 2
+                    wp = _seg_scatter(wp, u, v, qr * 2 + qc, oc, c_out,
+                                      w[dr, dc], segments)
+    bias_p = jnp.tile(bias, 4) if bias is not None else None
+    return wp, bias_p
+
+
+def _pack_1x1_weights(w, bias, segments=None):
+    """1×1 conv weights over packed input: phase-block-diagonal kernel
+    (a 1×1 conv commutes with packing)."""
+    c_in, c_out = w.shape[2], w.shape[3]
+    segments = tuple(segments) if segments else (c_in,)
+    assert sum(segments) == c_in, (segments, c_in)
+    wp = jnp.zeros((1, 1, 4 * c_in, 4 * c_out), w.dtype)
+    for q in range(4):
+        wp = _seg_scatter(wp, 0, 0, q, q * c_out, c_out, w[0, 0], segments)
     bias_p = jnp.tile(bias, 4) if bias is not None else None
     return wp, bias_p
 
@@ -227,6 +304,41 @@ def pack_space2(x):
     b, h, w, c = x.shape
     xp = x.reshape(b, h // 2, 2, w // 2, 2, c)
     return xp.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def unpack_space2(xp, segments=None):
+    """Inverse of pack_space2 on a (possibly segment-concat) packed
+    tensor: (B, A, J, 4·ΣC) → (B, 2A, 2J, ΣC)."""
+    b, a, j, c4 = xp.shape
+    segments = tuple(segments) if segments else (c4 // 4,)
+    assert sum(segments) * 4 == c4, (segments, c4)
+    outs = []
+    base = 0
+    for cm in segments:
+        s = xp[..., base : base + 4 * cm].reshape(b, a, j, 2, 2, cm)
+        s = s.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * a, 2 * j, cm)
+        outs.append(s)
+        base += 4 * cm
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=-1)
+
+
+class _RawConvParams(nn.Module):
+    """Declares {kernel, bias} at this module's own scope — the exact
+    param tree of an nn.Conv of the same name (used by the packed
+    finalConv path so variables stay interchangeable)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, self.in_features, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
 
 
 class _ConvParams(nn.Module):
@@ -274,9 +386,13 @@ class ConvLayer(nn.Module):
     # Input arrives 2×2-packed (pack_space2 layout). Params are declared
     # at the LOGICAL (unpacked) shape so folded variables stay
     # interchangeable with the plain layer; the packed-space weight
-    # transform is applied at trace time. stride-1 stays packed; stride-2
-    # consumes the packed blocks and emits unpacked half-res output.
+    # transform is applied at trace time. stride-1 (and 1×1) stay packed;
+    # stride-2 consumes the packed blocks and emits unpacked half-res
+    # output unless ``packed_out`` keeps it packed. ``segments`` is the
+    # logical channel split when the input is a concat of packed tensors.
     packed_in: bool = False
+    packed_out: bool = False
+    segments: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -294,25 +410,26 @@ class ConvLayer(nn.Module):
             and x.shape[-2] % 2 == 0
         )
         if self.packed_in:
-            assert self.kernel == 3 and self.stride in (1, 2)
-            if self.stride == 1:
-                wp, bp = _pack_s1_weights(k, b)
-                x = jax.lax.conv_general_dilated(
-                    x.astype(self.dtype), wp.astype(self.dtype), (1, 1),
-                    ((1, 1), (1, 1)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
-                if bp is not None:
-                    x = x + bp.astype(self.dtype)
+            assert self.kernel in (1, 3) and self.stride in (1, 2)
+            if self.kernel == 1:
+                wp, bp = _pack_1x1_weights(k, b, self.segments)
+                stride, pad = (1, 1), ((0, 0), (0, 0))
+            elif self.stride == 1:
+                wp, bp = _pack_s1_weights(k, b, self.segments)
+                stride, pad = (1, 1), ((1, 1), (1, 1))
+            elif self.packed_out:
+                wp, bp = _pack_s2_weights(k, b, self.segments)
+                stride, pad = (2, 2), ((1, 1), (1, 1))
             else:
-                w2 = _prepacked_s2d_weights(k)
-                x = jax.lax.conv_general_dilated(
-                    x.astype(self.dtype), w2.astype(self.dtype), (1, 1),
-                    ((1, 0), (1, 0)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
-                if b is not None:
-                    x = x + b.astype(self.dtype)
+                assert self.segments is None
+                wp, bp = _prepacked_s2d_weights(k), b
+                stride, pad = (1, 1), ((1, 0), (1, 0))
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), wp.astype(self.dtype), stride, pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if bp is not None:
+                x = x + bp.astype(self.dtype)
         elif use_s2d:
             x = _space_to_depth_conv(x.astype(self.dtype), k, b, self.dtype)
         else:
@@ -344,6 +461,11 @@ class HarDBlock(nn.Module):
     keep_base: bool = False
     dtype: Any = jnp.float32
     folded: bool = False
+    # Run every layer over 2×2-packed space: each conv input is a concat
+    # of independently packed segments (the harmonic links), handled by
+    # the segment-aware weight transforms. Output is the packed concat of
+    # the kept segments (logical sizes from ``out_segments``).
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -351,13 +473,17 @@ class HarDBlock(nn.Module):
             self.n_layers, self.in_channels, self.growth, self.grmul
         )
         outs = [x]
+        sizes = [self.in_channels]  # logical channels per outs[i]
         for i, (out_ch, _, link) in enumerate(layer_specs):
             tin = [outs[l] for l in link]
             inp = jnp.concatenate(tin, axis=-1) if len(tin) > 1 else tin[0]
+            segs = tuple(sizes[l] for l in link) if self.packed else None
             outs.append(
                 ConvLayer(out_ch, dtype=self.dtype, folded=self.folded,
+                          packed_in=self.packed, segments=segs,
                           name=f"layer_{i}")(inp, train=train)
             )
+            sizes.append(out_ch)
         t = len(outs)
         keep = [
             outs[i]
@@ -369,6 +495,22 @@ class HarDBlock(nn.Module):
     @staticmethod
     def out_ch(in_channels, growth, grmul, n_layers) -> int:
         return hard_block_links(n_layers, in_channels, growth, grmul)[1]
+
+    @staticmethod
+    def out_segments(in_channels, growth, grmul, n_layers,
+                     keep_base: bool = False):
+        """Logical channel sizes of the kept (concatenated) outputs —
+        the segment layout of a packed block's output."""
+        layer_specs, _ = hard_block_links(
+            n_layers, in_channels, growth, grmul
+        )
+        sizes = [in_channels] + [oc for oc, _, _ in layer_specs]
+        t = len(sizes)
+        return tuple(
+            sizes[i]
+            for i in range(t)
+            if (i == 0 and keep_base) or i == t - 1 or i % 2 == 1
+        )
 
 
 class HarDNet(nn.Module):
@@ -398,6 +540,16 @@ class HarDNet(nn.Module):
     # docs/perf_notes.md round 5). Bit-equal math up to f32 reassociation;
     # requires skip_stem0 (the packed path starts at the stem output).
     packed_stem: bool = False
+    # Extend the packed region through base_3 + the first HarDBlock +
+    # its 1×1 transition and 2×2 avg-pool (which is just the phase mean
+    # of a packed tensor). The decoder skip is unpacked at the boundary.
+    # Requires packed_stem.
+    packed_block1: bool = False
+    # Also run the LAST decoder stage packed: the upsample emits the
+    # packed layout directly (resize_bilinear_packed_out), the i==0 skip
+    # stays packed, and conv1x1_up_3 / denseBlocksUp_3 / finalConv use
+    # the segment-aware packed weights. Requires packed_block1.
+    packed_up3: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -429,62 +581,110 @@ class HarDNet(nn.Module):
         )
         if packed and not pre_packed:
             x = pack_space2(x)
+        deep = packed and self.packed_block1
         x = ConvLayer(self.first_ch[1], kernel=3, dtype=self.dtype,
                       folded=self.folded, packed_in=packed,
                       name="base_1")(x, train)
         x = ConvLayer(self.first_ch[2], kernel=3, stride=2, dtype=self.dtype,
                       folded=self.folded, s2d=self.stem_s2d,
-                      packed_in=packed, name="base_2")(x, train)
+                      packed_in=packed, packed_out=deep,
+                      name="base_2")(x, train)
         x = ConvLayer(self.first_ch[3], kernel=3, dtype=self.dtype,
-                      folded=self.folded, name="base_3")(x, train)
+                      folded=self.folded, packed_in=deep,
+                      name="base_3")(x, train)
 
         skips: List[jnp.ndarray] = []
         skip_chs: List[int] = []
+        deep_skip_segs = None  # set when the i==0 skip is stored packed
         ch = self.first_ch[3]
         base_idx = 4
         for i in range(blks):
+            blk_packed = deep and i == 0
             x = HarDBlock(
                 ch, self.gr[i], self.grmul, self.n_layers[i],
-                dtype=self.dtype, folded=self.folded,
+                dtype=self.dtype, folded=self.folded, packed=blk_packed,
                 name=f"base_{base_idx}",
             )(x, train)
+            segs = HarDBlock.out_segments(
+                ch, self.gr[i], self.grmul, self.n_layers[i]
+            ) if blk_packed else None
             ch = HarDBlock.out_ch(ch, self.gr[i], self.grmul, self.n_layers[i])
             base_idx += 1
             if i < blks - 1:
-                skips.append(x)
+                if blk_packed and self.packed_up3:
+                    skips.append(x)  # stays packed for the packed decoder
+                    deep_skip_segs = segs
+                elif blk_packed:
+                    skips.append(unpack_space2(x, segs))
+                else:
+                    skips.append(x)
                 skip_chs.append(ch)
             x = ConvLayer(self.ch_list[i], kernel=1, dtype=self.dtype,
-                          folded=self.folded,
+                          folded=self.folded, packed_in=blk_packed,
+                          segments=segs,
                           name=f"base_{base_idx}")(x, train)
             ch = self.ch_list[i]
             base_idx += 1
             if i < blks - 1:
-                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+                if blk_packed:
+                    # 2×2 stride-2 avg-pool of a packed tensor == mean of
+                    # its 4 phase blocks; exits the packed region.
+                    c = ch
+                    x = (x[..., :c] + x[..., c : 2 * c]
+                         + x[..., 2 * c : 3 * c] + x[..., 3 * c :]) * 0.25
+                else:
+                    x = nn.avg_pool(x, (2, 2), strides=(2, 2))
                 base_idx += 1  # torch keeps AvgPool in the ModuleList
 
         # Decoder (hardnet.py:312-322, 365-369)
         prev_ch = ch
+        final_segs = None
         for j, i in enumerate(range(blks - 2, -1, -1)):
             skip = skips.pop()
-            x = resize_bilinear_align_corners(x, (skip.shape[-3], skip.shape[-2]))
+            up3 = i == 0 and deep_skip_segs is not None
+            if up3:
+                size = (skip.shape[-3] * 2, skip.shape[-2] * 2)
+                x = resize_bilinear_packed_out(x, size)
+                segs_in = (prev_ch,) + tuple(deep_skip_segs)
+            else:
+                x = resize_bilinear_align_corners(
+                    x, (skip.shape[-3], skip.shape[-2])
+                )
+                segs_in = None
             x = jnp.concatenate([x, skip], axis=-1)
             cur = prev_ch + skip_chs[i]
             x = ConvLayer(cur // 2, kernel=1, dtype=self.dtype,
-                          folded=self.folded,
+                          folded=self.folded, packed_in=up3,
+                          segments=segs_in,
                           name=f"conv1x1_up_{j}")(x, train)
             x = HarDBlock(
                 cur // 2, self.gr[i], self.grmul, self.n_layers[i],
-                dtype=self.dtype, folded=self.folded,
+                dtype=self.dtype, folded=self.folded, packed=up3,
                 name=f"denseBlocksUp_{j}",
             )(x, train)
+            if up3:
+                final_segs = HarDBlock.out_segments(
+                    cur // 2, self.gr[i], self.grmul, self.n_layers[i]
+                )
             prev_ch = HarDBlock.out_ch(
                 cur // 2, self.gr[i], self.grmul, self.n_layers[i]
             )
 
-        logits = nn.Conv(
-            self.n_classes, (1, 1), use_bias=True, dtype=self.dtype,
-            name="finalConv"
-        )(x)
+        if final_segs is not None:
+            fk, fb = _RawConvParams(self.n_classes, prev_ch,
+                                    name="finalConv")()
+            wp, bp = _pack_1x1_weights(fk, fb, final_segs)
+            lp = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), wp.astype(self.dtype), (1, 1),
+                ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + bp.astype(self.dtype)
+            logits = unpack_space2(lp)
+        else:
+            logits = nn.Conv(
+                self.n_classes, (1, 1), use_bias=True, dtype=self.dtype,
+                name="finalConv"
+            )(x)
         if return_argmax:
             # Serving fast path: the full-res (B, H, W, C) logits would
             # lane-pad C -> 128 (~1 GB at 1024x2048). Resize in CHW

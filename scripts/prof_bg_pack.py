@@ -77,10 +77,13 @@ def timed(label, body, args):
 x = (seg, dep)
 plain = timed("bg_plain", bg_step(), (x,))
 packed = timed("bg_packed_stem", bg_step(packed_stem=True), (x,))
-kpacked = timed("bg_packed_kernel_out",
-                bg_step(packed_out=True, packed_stem=True), (x,))
+deep = timed("bg_packed_block1",
+             bg_step(packed_stem=True, packed_block1=True), (x,))
+up3 = timed("bg_packed_up3",
+            bg_step(packed_stem=True, packed_block1=True, packed_up3=True),
+            (x,))
 print(f"speedup xla-pack: {plain / packed:.3f}x  "
-      f"kernel-pack: {plain / kpacked:.3f}x", flush=True)
+      f"block1: {plain / deep:.3f}x  up3: {plain / up3:.3f}x", flush=True)
 
 # Full-res argmax agreement.
 p0 = vars_f["params"]["base_0"]["conv"]

@@ -302,7 +302,7 @@ def test_hardnet_packed_stem_matches_plain():
     x0 = jnp.asarray(rng.randn(1, 64, 128, 16).astype(np.float32))
     plain = HarDNet(n_classes=7, folded=True, skip_stem0=True)
     packed = HarDNet(n_classes=7, folded=True, skip_stem0=True,
-                     packed_stem=True)
+                     packed_stem=True, packed_block1=True, packed_up3=True)
     a = plain.apply(vf, x0)
     b = packed.apply(vf, x0)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
