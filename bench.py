@@ -258,8 +258,8 @@ def measure_tpu_stages(k: int = K) -> dict:
     )
 
     net_f = HarDNet(n_classes=11, folded=True, skip_stem0=True,
-                    packed_stem=True, packed_block1=True,
-                    packed_up3=True)  # BGModel's serving default (r05)
+                    packed_stem=True,
+                    packed_levels=1)  # BGModel's serving default (r05)
     bg_vars_f = fold_batchnorm_variables(bg_vars)
     from panoptic_forecasting_tpu.kernels.stem import onehot_stem_conv
 

@@ -81,7 +81,8 @@ class BGModel(TaskModel):
         self._folded_nostem_module = HarDNet(
             n_classes=self.num_classes, dtype=self.compute_dtype,
             folded=True, skip_stem0=True,
-            packed_stem=pk, packed_block1=pk, packed_up3=pk,
+            packed_stem=pk,
+            packed_levels=int(m.get("packed_levels", 1)) if pk else 0,
         )
 
     # -- inference-time conv+BN folding (v2_transform capability) ----------

@@ -540,16 +540,15 @@ class HarDNet(nn.Module):
     # docs/perf_notes.md round 5). Bit-equal math up to f32 reassociation;
     # requires skip_stem0 (the packed path starts at the stem output).
     packed_stem: bool = False
-    # Extend the packed region through base_3 + the first HarDBlock +
-    # its 1×1 transition and 2×2 avg-pool (which is just the phase mean
-    # of a packed tensor). The decoder skip is unpacked at the boundary.
-    # Requires packed_stem.
-    packed_block1: bool = False
-    # Also run the LAST decoder stage packed: the upsample emits the
-    # packed layout directly (resize_bilinear_packed_out), the i==0 skip
-    # stays packed, and conv1x1_up_3 / denseBlocksUp_3 / finalConv use
-    # the segment-aware packed weights. Requires packed_block1.
-    packed_up3: bool = False
+    # Number of encoder/decoder TIERS that also run packed (requires
+    # packed_stem). Tier i packs encoder block i (+ its 1×1 transition;
+    # the 2×2 avg-pool becomes the phase mean) and the matching decoder
+    # stage (upsample emits the packed layout via
+    # resize_bilinear_packed_out, the skip stays packed, and the
+    # conv1x1_up / denseBlocksUp / — for tier 0 — finalConv use the
+    # segment-aware packed weights). Tier boundaries re-pack/unpack with
+    # one small relayout each.
+    packed_levels: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False,
@@ -581,7 +580,8 @@ class HarDNet(nn.Module):
         )
         if packed and not pre_packed:
             x = pack_space2(x)
-        deep = packed and self.packed_block1
+        lvl = min(self.packed_levels, blks - 1) if packed else 0
+        deep = lvl > 0
         x = ConvLayer(self.first_ch[1], kernel=3, dtype=self.dtype,
                       folded=self.folded, packed_in=packed,
                       name="base_1")(x, train)
@@ -595,11 +595,11 @@ class HarDNet(nn.Module):
 
         skips: List[jnp.ndarray] = []
         skip_chs: List[int] = []
-        deep_skip_segs = None  # set when the i==0 skip is stored packed
+        skip_segs: List[Optional[Tuple[int, ...]]] = []
         ch = self.first_ch[3]
         base_idx = 4
         for i in range(blks):
-            blk_packed = deep and i == 0
+            blk_packed = i < lvl
             x = HarDBlock(
                 ch, self.gr[i], self.grmul, self.n_layers[i],
                 dtype=self.dtype, folded=self.folded, packed=blk_packed,
@@ -611,14 +611,9 @@ class HarDNet(nn.Module):
             ch = HarDBlock.out_ch(ch, self.gr[i], self.grmul, self.n_layers[i])
             base_idx += 1
             if i < blks - 1:
-                if blk_packed and self.packed_up3:
-                    skips.append(x)  # stays packed for the packed decoder
-                    deep_skip_segs = segs
-                elif blk_packed:
-                    skips.append(unpack_space2(x, segs))
-                else:
-                    skips.append(x)
+                skips.append(x)  # packed skips stay packed for the decoder
                 skip_chs.append(ch)
+                skip_segs.append(segs)
             x = ConvLayer(self.ch_list[i], kernel=1, dtype=self.dtype,
                           folded=self.folded, packed_in=blk_packed,
                           segments=segs,
@@ -628,10 +623,13 @@ class HarDNet(nn.Module):
             if i < blks - 1:
                 if blk_packed:
                     # 2×2 stride-2 avg-pool of a packed tensor == mean of
-                    # its 4 phase blocks; exits the packed region.
+                    # its 4 phase blocks; re-packs when the next tier is
+                    # packed too, else exits the packed region.
                     c = ch
                     x = (x[..., :c] + x[..., c : 2 * c]
                          + x[..., 2 * c : 3 * c] + x[..., 3 * c :]) * 0.25
+                    if i + 1 < lvl:
+                        x = pack_space2(x)
                 else:
                     x = nn.avg_pool(x, (2, 2), strides=(2, 2))
                 base_idx += 1  # torch keeps AvgPool in the ModuleList
@@ -641,11 +639,14 @@ class HarDNet(nn.Module):
         final_segs = None
         for j, i in enumerate(range(blks - 2, -1, -1)):
             skip = skips.pop()
-            up3 = i == 0 and deep_skip_segs is not None
-            if up3:
+            segs_skip = skip_segs.pop()
+            up_packed = i < lvl  # matches the packed-skip tiers
+            if up_packed:
+                # x arrives UNPACKED (packed decoder stages unpack on
+                # exit); the upsample emits the packed layout directly.
                 size = (skip.shape[-3] * 2, skip.shape[-2] * 2)
                 x = resize_bilinear_packed_out(x, size)
-                segs_in = (prev_ch,) + tuple(deep_skip_segs)
+                segs_in = (prev_ch,) + tuple(segs_skip)
             else:
                 x = resize_bilinear_align_corners(
                     x, (skip.shape[-3], skip.shape[-2])
@@ -654,21 +655,24 @@ class HarDNet(nn.Module):
             x = jnp.concatenate([x, skip], axis=-1)
             cur = prev_ch + skip_chs[i]
             x = ConvLayer(cur // 2, kernel=1, dtype=self.dtype,
-                          folded=self.folded, packed_in=up3,
+                          folded=self.folded, packed_in=up_packed,
                           segments=segs_in,
                           name=f"conv1x1_up_{j}")(x, train)
             x = HarDBlock(
                 cur // 2, self.gr[i], self.grmul, self.n_layers[i],
-                dtype=self.dtype, folded=self.folded, packed=up3,
+                dtype=self.dtype, folded=self.folded, packed=up_packed,
                 name=f"denseBlocksUp_{j}",
             )(x, train)
-            if up3:
-                final_segs = HarDBlock.out_segments(
-                    cur // 2, self.gr[i], self.grmul, self.n_layers[i]
-                )
+            out_segs = HarDBlock.out_segments(
+                cur // 2, self.gr[i], self.grmul, self.n_layers[i]
+            ) if up_packed else None
             prev_ch = HarDBlock.out_ch(
                 cur // 2, self.gr[i], self.grmul, self.n_layers[i]
             )
+            if up_packed and i > 0:
+                x = unpack_space2(x, out_segs)
+            elif up_packed:
+                final_segs = out_segs  # stays packed through finalConv
 
         if final_segs is not None:
             fk, fb = _RawConvParams(self.n_classes, prev_ch,

@@ -77,13 +77,14 @@ def timed(label, body, args):
 x = (seg, dep)
 plain = timed("bg_plain", bg_step(), (x,))
 packed = timed("bg_packed_stem", bg_step(packed_stem=True), (x,))
-deep = timed("bg_packed_block1",
-             bg_step(packed_stem=True, packed_block1=True), (x,))
-up3 = timed("bg_packed_up3",
-            bg_step(packed_stem=True, packed_block1=True, packed_up3=True),
-            (x,))
-print(f"speedup xla-pack: {plain / packed:.3f}x  "
-      f"block1: {plain / deep:.3f}x  up3: {plain / up3:.3f}x", flush=True)
+lv1 = timed("bg_packed_lv1",
+            bg_step(packed_stem=True, packed_levels=1), (x,))
+lv2 = timed("bg_packed_lv2",
+            bg_step(packed_stem=True, packed_levels=2), (x,))
+lv3 = timed("bg_packed_lv3",
+            bg_step(packed_stem=True, packed_levels=3), (x,))
+print(f"speedup xla-pack: {plain / packed:.3f}x  lv1: {plain / lv1:.3f}x  "
+      f"lv2: {plain / lv2:.3f}x  lv3: {plain / lv3:.3f}x", flush=True)
 
 # Full-res argmax agreement.
 p0 = vars_f["params"]["base_0"]["conv"]
@@ -94,14 +95,14 @@ a = np.asarray(jax.jit(
     .apply(vars_f, y, return_argmax=True))(y0))
 b = np.asarray(jax.jit(
     lambda y: HarDNet(n_classes=11, folded=True, skip_stem0=True,
-                      packed_stem=True)
+                      packed_stem=True, packed_levels=2)
     .apply(vars_f, y, return_argmax=True))(y0))
 print("argmax flip fraction:", float((a != b).mean()), flush=True)
 
 if "--trace" in sys.argv:
     out = "/tmp/pf_bg_pack_trace"
     os.makedirs(out, exist_ok=True)
-    run = scan_loop(bg_step(packed_out=True, packed_stem=True))
+    run = scan_loop(bg_step(packed_stem=True, packed_levels=2))
     jax.profiler.start_trace(out)
     run(x, jnp.float32(1.0)).block_until_ready()
     import time

@@ -270,6 +270,68 @@ def test_bg_bf16_compute_dtype():
     assert out.dtype == jnp.float32
 
 
+def test_packed_weight_transforms_match_plain_convs():
+    """Each packed-space weight transform is an exact re-indexing of the
+    plain conv: stride-1 3×3 (segment-aware), stride-2 3×3 packed→packed,
+    1×1 block-diagonal, the packed-output resize, and the pack/unpack
+    roundtrip."""
+    import jax
+    import numpy as np
+
+    from panoptic_forecasting_tpu.models.hardnet import (
+        _pack_1x1_weights,
+        _pack_s1_weights,
+        _pack_s2_weights,
+        pack_space2,
+        resize_bilinear_align_corners,
+        resize_bilinear_packed_out,
+        unpack_space2,
+    )
+
+    rng = np.random.RandomState(5)
+    conv = lambda x, w, s, p: jax.lax.conv_general_dilated(
+        x, w, (s, s), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    # two logical inputs (segments) of 3 and 5 channels, 8x12 spatial
+    xa = jnp.asarray(rng.randn(2, 8, 12, 3).astype(np.float32))
+    xb = jnp.asarray(rng.randn(2, 8, 12, 5).astype(np.float32))
+    x = jnp.concatenate([xa, xb], axis=-1)
+    xp = jnp.concatenate([pack_space2(xa), pack_space2(xb)], axis=-1)
+    segs = (3, 5)
+
+    np.testing.assert_array_equal(
+        np.asarray(unpack_space2(xp, segs)), np.asarray(x)
+    )
+
+    w = jnp.asarray(rng.randn(3, 3, 8, 6).astype(np.float32))
+    b = jnp.asarray(rng.randn(6).astype(np.float32))
+    ref = conv(x, w, 1, 1) + b
+    wp, bp = _pack_s1_weights(w, b, segs)
+    got = unpack_space2(conv(xp, wp, 1, 1) + bp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    ref2 = conv(x, w, 2, 1) + b
+    wp2, bp2 = _pack_s2_weights(w, b, segs)
+    got2 = unpack_space2(conv(xp, wp2, 2, 1) + bp2)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-5)
+
+    w1 = jnp.asarray(rng.randn(1, 1, 8, 4).astype(np.float32))
+    b1 = jnp.asarray(rng.randn(4).astype(np.float32))
+    ref3 = conv(x, w1, 1, 0) + b1
+    wp3, bp3 = _pack_1x1_weights(w1, b1, segs)
+    got3 = unpack_space2(conv(xp, wp3, 1, 0) + bp3)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(ref3),
+                               rtol=1e-5, atol=1e-5)
+
+    ref4 = resize_bilinear_align_corners(x, (16, 24))
+    got4 = unpack_space2(resize_bilinear_packed_out(x, (16, 24)))
+    np.testing.assert_allclose(np.asarray(got4), np.asarray(ref4),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_hardnet_packed_stem_matches_plain():
     """packed_stem (2×2 space-to-depth base_1/base_2) == plain path.
 
@@ -301,16 +363,17 @@ def test_hardnet_packed_stem_matches_plain():
     vf = fold_batchnorm_variables(v)
     x0 = jnp.asarray(rng.randn(1, 64, 128, 16).astype(np.float32))
     plain = HarDNet(n_classes=7, folded=True, skip_stem0=True)
-    packed = HarDNet(n_classes=7, folded=True, skip_stem0=True,
-                     packed_stem=True, packed_block1=True, packed_up3=True)
     a = plain.apply(vf, x0)
-    b = packed.apply(vf, x0)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                               rtol=1e-5, atol=1e-5)
-    np.testing.assert_array_equal(
-        np.asarray(plain.apply(vf, x0, return_argmax=True)),
-        np.asarray(packed.apply(vf, x0, return_argmax=True)),
-    )
+    for lvl in (1, 2):
+        packed = HarDNet(n_classes=7, folded=True, skip_stem0=True,
+                         packed_stem=True, packed_levels=lvl)
+        b = packed.apply(vf, x0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(plain.apply(vf, x0, return_argmax=True)),
+            np.asarray(packed.apply(vf, x0, return_argmax=True)),
+        )
 
 
 def test_bg_fold_inference_matches(bg_cfg):
