@@ -260,6 +260,29 @@ def _pack_s2_weights(w, bias, segments=None):
     return wp, bias_p
 
 
+def _pack_entry_weights(w, bias):
+    """3×3 stride-1 conv weights as a 4×4 stride-2 conv from UNPACKED
+    input emitting the packed (4C_out) layout directly.
+
+    Output phase (ph, pw) at packed (a, b) is original output pixel
+    (2a+ph, 2b+pw); its 3×3 support rows 2a+ph−1..2a+ph+1 sit inside the
+    4-row window 2a−1..2a+2 at offset ph+dr. One conv replaces
+    pack_space2 (a measured 0.43 ms/frame of relayout copies at
+    1024×2048) plus the packed stride-1 conv."""
+    c_in, c_out = w.shape[2], w.shape[3]
+    w4 = jnp.zeros((4, 4, c_in, 4 * c_out), w.dtype)
+    for ph in (0, 1):
+        for pw_ in (0, 1):
+            oc = (ph * 2 + pw_) * c_out
+            for dr in range(3):
+                for dc in range(3):
+                    w4 = w4.at[ph + dr, pw_ + dc, :, oc : oc + c_out].add(
+                        w[dr, dc]
+                    )
+    bias_p = jnp.tile(bias, 4) if bias is not None else None
+    return w4, bias_p
+
+
 def _pack_1x1_weights(w, bias, segments=None):
     """1×1 conv weights over packed input: phase-block-diagonal kernel
     (a 1×1 conv commutes with packing)."""
@@ -393,6 +416,9 @@ class ConvLayer(nn.Module):
     packed_in: bool = False
     packed_out: bool = False
     segments: Optional[Tuple[int, ...]] = None
+    # UNPACKED input → packed output via the 4×4 stride-2 entry conv
+    # (_pack_entry_weights); replaces pack_space2 + a packed_in conv.
+    pack_entry: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -409,7 +435,17 @@ class ConvLayer(nn.Module):
             and x.shape[-3] % 2 == 0
             and x.shape[-2] % 2 == 0
         )
-        if self.packed_in:
+        if self.pack_entry:
+            assert self.kernel == 3 and self.stride == 1
+            w4, bp = _pack_entry_weights(k, b)
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w4.astype(self.dtype), (2, 2),
+                ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if bp is not None:
+                x = x + bp.astype(self.dtype)
+        elif self.packed_in:
             assert self.kernel in (1, 3) and self.stride in (1, 2)
             if self.kernel == 1:
                 wp, bp = _pack_1x1_weights(k, b, self.segments)
@@ -578,12 +614,14 @@ class HarDNet(nn.Module):
         packed = self.packed_stem and self.skip_stem0 and (
             pre_packed or (x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0)
         )
-        if packed and not pre_packed:
-            x = pack_space2(x)
         lvl = min(self.packed_levels, blks - 1) if packed else 0
         deep = lvl > 0
+        # Unpacked stem output enters the packed region through base_1's
+        # 4×4 stride-2 entry conv — no pack_space2 relayout (0.43 ms of
+        # copies at 1024×2048, docs/perf_notes.md round 5).
         x = ConvLayer(self.first_ch[1], kernel=3, dtype=self.dtype,
-                      folded=self.folded, packed_in=packed,
+                      folded=self.folded, packed_in=packed and pre_packed,
+                      pack_entry=packed and not pre_packed,
                       name="base_1")(x, train)
         x = ConvLayer(self.first_ch[2], kernel=3, stride=2, dtype=self.dtype,
                       folded=self.folded, s2d=self.stem_s2d,

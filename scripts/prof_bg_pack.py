@@ -102,7 +102,7 @@ print("argmax flip fraction:", float((a != b).mean()), flush=True)
 if "--trace" in sys.argv:
     out = "/tmp/pf_bg_pack_trace"
     os.makedirs(out, exist_ok=True)
-    run = scan_loop(bg_step(packed_stem=True, packed_levels=2))
+    run = scan_loop(bg_step(packed_stem=True, packed_levels=1))
     jax.profiler.start_trace(out)
     run(x, jnp.float32(1.0)).block_until_ready()
     import time
