@@ -461,7 +461,7 @@ def measure_fused(k: int = K) -> float:
 
 
 def measure_train_step(k: int = 10, b: int = 8, t_in: int = 3,
-                       crop: int = 800) -> dict:
+                       crop: int = 800, packed: bool = False) -> dict:
     """ms/step of the production BG TRAINING step (heaviest train program):
     FCHarDNet-70 forward+backward+SGD(momentum, wd, clip-norm 5) at the
     shipped config's shapes (configs/bg/bg_train.yaml: batch 8, crop 800,
@@ -483,7 +483,8 @@ def measure_train_step(k: int = 10, b: int = 8, t_in: int = 3,
     cfg = {
         "task": "bg",
         "model": {"num_inputs": t_in, "convert2onehot": True,
-                  "use_depth_inps": True, "hardnet": {}},
+                  "use_depth_inps": True, "hardnet": {},
+                  "packed_train": packed},
         "data": {"num_classes": 11},
         "training": {"batch_size": b, "lr": 2.0e-3, "mom": 0.9,
                      "wd": 1.0e-4, "clip_grad_norm": 5.0},

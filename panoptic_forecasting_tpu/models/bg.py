@@ -62,8 +62,15 @@ class BGModel(TaskModel):
         dt = m.get("compute_dtype")
         self.compute_dtype = jnp.bfloat16 if dt in ("bfloat16", "bf16") else jnp.float32
         self.fold_bn = bool(m.get("fold_bn", True))
+        # Packed TRAINING path (round 5): enter packed space at base_0
+        # via the 5×5 stride-4 entry conv, BN reshaped per logical
+        # channel — mathematically exact (f64 fwd diff 0.0, grads 5e-11
+        # vs plain; f32 differs only by reassociation through the BN
+        # chain). Off by default pending an on-device win.
         self.module = HarDNet(
-            n_classes=self.num_classes, dtype=self.compute_dtype
+            n_classes=self.num_classes, dtype=self.compute_dtype,
+            packed_full=bool(m.get("packed_train", False)),
+            packed_levels=1 if m.get("packed_train") else 0,
         )
         self._folded_module = HarDNet(
             n_classes=self.num_classes, dtype=self.compute_dtype, folded=True

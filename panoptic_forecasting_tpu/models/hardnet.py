@@ -283,6 +283,27 @@ def _pack_entry_weights(w, bias):
     return w4, bias_p
 
 
+def _pack_entry_s2_weights(w, bias):
+    """3×3 STRIDE-2 conv weights as a 5×5 stride-4 conv from UNPACKED
+    input emitting the packed (4C_out) layout directly — the base_0 entry
+    of the packed TRAINING path. Output phase (ph, pw) at packed (a, b)
+    is stride-2 output pixel (2a+ph, ·), reading input rows
+    4a+2ph−1..4a+2ph+1 inside the 5-row window 4a−1..4a+3 at offset
+    2ph+dr. Padding (1, 0) on each spatial dim (torch stride-2/pad-1
+    geometry; needs H, W ≡ 0 mod 4)."""
+    c_in, c_out = w.shape[2], w.shape[3]
+    w5 = jnp.zeros((5, 5, c_in, 4 * c_out), w.dtype)
+    for ph in (0, 1):
+        for pw_ in (0, 1):
+            oc = (ph * 2 + pw_) * c_out
+            for dr in range(3):
+                for dc in range(3):
+                    w5 = w5.at[2 * ph + dr, 2 * pw_ + dc, :,
+                               oc : oc + c_out].add(w[dr, dc])
+    bias_p = jnp.tile(bias, 4) if bias is not None else None
+    return w5, bias_p
+
+
 def _pack_1x1_weights(w, bias, segments=None):
     """1×1 conv weights over packed input: phase-block-diagonal kernel
     (a 1×1 conv commutes with packing)."""
@@ -419,6 +440,10 @@ class ConvLayer(nn.Module):
     # UNPACKED input → packed output via the 4×4 stride-2 entry conv
     # (_pack_entry_weights); replaces pack_space2 + a packed_in conv.
     pack_entry: bool = False
+    # UNPACKED input → packed output for a STRIDE-2 layer via the 5×5
+    # stride-4 entry conv (_pack_entry_s2_weights) — the base_0 entry of
+    # the packed training path.
+    pack_entry_s2: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -435,12 +460,26 @@ class ConvLayer(nn.Module):
             and x.shape[-3] % 2 == 0
             and x.shape[-2] % 2 == 0
         )
-        if self.pack_entry:
-            assert self.kernel == 3 and self.stride == 1
-            w4, bp = _pack_entry_weights(k, b)
+        # Does this layer's OUTPUT carry the packed layout? (Everything
+        # except the prepacked-s2d exit, which emits unpacked half-res.)
+        packs_out = (
+            self.pack_entry
+            or self.pack_entry_s2
+            or (self.packed_in
+                and (self.kernel == 1 or self.stride == 1 or self.packed_out))
+        )
+        if self.pack_entry or self.pack_entry_s2:
+            assert self.kernel == 3
+            if self.pack_entry_s2:
+                assert self.stride == 2
+                we, bp = _pack_entry_s2_weights(k, b)
+                stride, pad = (4, 4), ((1, 0), (1, 0))
+            else:
+                assert self.stride == 1
+                we, bp = _pack_entry_weights(k, b)
+                stride, pad = (2, 2), ((1, 1), (1, 1))
             x = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), w4.astype(self.dtype), (2, 2),
-                ((1, 1), (1, 1)),
+                x.astype(self.dtype), we.astype(self.dtype), stride, pad,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             if bp is not None:
@@ -479,13 +518,22 @@ class ConvLayer(nn.Module):
             if b is not None:
                 x = x + b.astype(self.dtype)
         if not self.folded:
-            x = nn.BatchNorm(
+            bn = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
                 dtype=self.dtype,
                 name="norm",
-            )(x)
+            )
+            if packs_out:
+                # BN over a packed tensor: expose the 4 phase slots as a
+                # reduction axis so the stats are per LOGICAL channel —
+                # same elements, same counts, and the same (C,) variable
+                # shapes as the unpacked layer (training-path packing).
+                shp = x.shape
+                x = bn(x.reshape(shp[:-1] + (4, shp[-1] // 4))).reshape(shp)
+            else:
+                x = bn(x)
         return nn.relu(x)
 
 
@@ -576,8 +624,13 @@ class HarDNet(nn.Module):
     # docs/perf_notes.md round 5). Bit-equal math up to f32 reassociation;
     # requires skip_stem0 (the packed path starts at the stem output).
     packed_stem: bool = False
+    # Packed TRAINING path: enter the packed region at base_0 itself via
+    # the 5×5 stride-4 entry conv (full model, BN in packed space with
+    # per-logical-channel stats). Input H, W must be multiples of 4.
+    # Composes with packed_levels; ignored when skip_stem0.
+    packed_full: bool = False
     # Number of encoder/decoder TIERS that also run packed (requires
-    # packed_stem). Tier i packs encoder block i (+ its 1×1 transition;
+    # packed_stem or packed_full). Tier i packs encoder block i (+ its 1×1 transition;
     # the 2×2 avg-pool becomes the phase mean) and the matching decoder
     # stage (upsample emits the packed layout via
     # resize_bilinear_packed_out, the skip stays packed, and the
@@ -607,21 +660,29 @@ class HarDNet(nn.Module):
         # Stem (hardnet.py:274-280); base indices mirror the torch ModuleList
         # so the weight importer maps by position.
         x = x.astype(self.dtype)
+        full = (
+            self.packed_full
+            and not self.skip_stem0
+            and x.shape[-3] % 4 == 0
+            and x.shape[-2] % 4 == 0
+        )
         if not self.skip_stem0:
             x = ConvLayer(self.first_ch[0], kernel=3, stride=2,
                           dtype=self.dtype, folded=self.folded,
-                          s2d=self.stem_s2d, name="base_0")(x, train)
-        packed = self.packed_stem and self.skip_stem0 and (
+                          s2d=self.stem_s2d, pack_entry_s2=full,
+                          name="base_0")(x, train)
+        packed = full or (self.packed_stem and self.skip_stem0 and (
             pre_packed or (x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0)
-        )
+        ))
+        in_packed = pre_packed or full  # base_1's input already packed
         lvl = min(self.packed_levels, blks - 1) if packed else 0
         deep = lvl > 0
         # Unpacked stem output enters the packed region through base_1's
         # 4×4 stride-2 entry conv — no pack_space2 relayout (0.43 ms of
         # copies at 1024×2048, docs/perf_notes.md round 5).
         x = ConvLayer(self.first_ch[1], kernel=3, dtype=self.dtype,
-                      folded=self.folded, packed_in=packed and pre_packed,
-                      pack_entry=packed and not pre_packed,
+                      folded=self.folded, packed_in=packed and in_packed,
+                      pack_entry=packed and not in_packed,
                       name="base_1")(x, train)
         x = ConvLayer(self.first_ch[2], kernel=3, stride=2, dtype=self.dtype,
                       folded=self.folded, s2d=self.stem_s2d,
