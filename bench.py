@@ -1323,8 +1323,12 @@ if __name__ == "__main__":
     elif "--train-only" in sys.argv:
         _emit_canary()
         # One line per model, flushed in priority order, so a deadline
-        # kill still salvages everything already printed.
-        print(json.dumps(measure_train_step()), flush=True)
+        # kill still salvages everything already printed. bg measures the
+        # SHIPPED config's packed training graph (configs/bg/bg_train.yaml
+        # packed_train: true — 1.26x the plain graph, r05).
+        rec = measure_train_step(packed=True)
+        rec["bg_train_graph"] = "packed (model.packed_train, r05)"
+        print(json.dumps(rec), flush=True)
         print(json.dumps(measure_train_step_odom()), flush=True)
         print(json.dumps(measure_train_step_fg()), flush=True)
     elif "--stages-only" in sys.argv:
