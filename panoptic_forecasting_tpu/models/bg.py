@@ -288,7 +288,20 @@ class BGModel(TaskModel):
         safe = jnp.where(valid, labels, 0)
         # logits (B, H, W, C); CE mean over non-ignored pixels (torch
         # CrossEntropyLoss(ignore_index=255) semantics, bg_model.py:44,80).
-        ce = optax.softmax_cross_entropy_with_integer_labels(logits, safe)
+        # The label logit is selected with a one-hot multiply-sum, NOT
+        # take_along_axis: the per-pixel class gather lowers to a
+        # serialized TPU custom fusion that measured 79.5 ms of the
+        # 124 ms train step (docs/perf_notes.md round 5). Exactly one
+        # nonzero term per pixel → bit-identical to the gather.
+        shifted = logits - jax.lax.stop_gradient(
+            logits.max(axis=-1, keepdims=True)
+        )
+        label_logit = jnp.sum(
+            shifted
+            * jax.nn.one_hot(safe, shifted.shape[-1], dtype=shifted.dtype),
+            axis=-1,
+        )
+        ce = jnp.log(jnp.sum(jnp.exp(shifted), axis=-1)) - label_logit
         total_valid = jnp.maximum(valid.sum(), 1)
         loss = jnp.where(valid, ce, 0.0).sum() / total_valid
         preds = jnp.argmax(logits, axis=-1)

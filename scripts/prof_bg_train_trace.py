@@ -23,12 +23,13 @@ print("canary:", float(jnp.ones(8).sum()), flush=True)
 import bench
 
 k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+packed = "--plain" not in sys.argv
 out = "/tmp/pf_bg_train_trace"
 os.makedirs(out, exist_ok=True)
-res = bench.measure_train_step(k=k)  # warm compile + the official number
+res = bench.measure_train_step(k=k, packed=packed)  # warm + official
 print(res, flush=True)
 jax.profiler.start_trace(out)
-res = bench.measure_train_step(k=k)
+res = bench.measure_train_step(k=k, packed=packed)
 jax.profiler.stop_trace()
 print("traced:", res, flush=True)
 print("trace written to", out, flush=True)
