@@ -54,7 +54,9 @@ dep = jnp.asarray((rng.rand(1, 3, H, W) * 50).astype(np.float32))
 
 
 def bg_step(dtype):
-    net = HarDNet(n_classes=11, folded=True, skip_stem0=True, dtype=dtype)
+    # round-5: measure on the shipped packed serving graph
+    net = HarDNet(n_classes=11, folded=True, skip_stem0=True, dtype=dtype,
+                  packed_stem=True, packed_levels=1)
 
     def step(x, s):
         seg, dep = x
